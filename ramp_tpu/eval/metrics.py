@@ -1,0 +1,127 @@
+"""Evaluation metrics — definition parity with
+`scripts/inference/core/metrics.py`.
+
+  * waypoint variance (diversity): sum over horizon of the variance of
+    upper-triangular pairwise distances between samples (:8-18)
+  * smoothness: summed velocity deltas (:20-30)
+  * path length over xy of collision-free trajectories (:32-45)
+  * collision intensity: fraction of waypoints inside any axis-aligned box
+    (:48-82), in percent at the aggregate level
+  * success: any sampled trajectory with <= 1% colliding waypoints (:84-126)
+  * dynamic episode metrics: capture (pursuer radius + 0.02 margin), goal
+    reached <= goal_safe_threshold, score = 0.5*goal + 0.5*not-captured
+    (:128-171)
+
+All functions are jnp and jit-friendly; aggregation loops live in the eval
+harnesses.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def compute_path_length(trajs) -> jnp.ndarray:
+    """[B, H, D] -> [B]; xy arc length (ref :32-45)."""
+    trajs = jnp.asarray(trajs)
+    pos = trajs[..., :2]
+    diffs = pos[:, 1:] - pos[:, :-1]
+    return jnp.sqrt((diffs ** 2).sum(-1)).sum(-1)
+
+
+def compute_smoothness(trajs) -> jnp.ndarray:
+    """[B, H, D>=4] -> [B]; summed velocity deltas (ref :20-30)."""
+    trajs = jnp.asarray(trajs)
+    vel = trajs[..., 2:]
+    return jnp.linalg.norm(jnp.diff(vel, axis=-2), axis=-1).sum(-1)
+
+
+def compute_variance_waypoints(trajs, eps: float = 1e-8) -> jnp.ndarray:
+    """Diversity metric (ref :8-18).
+
+    For each waypoint index, the variance of the strict-upper-triangle
+    pairwise distances between samples — including, as in the reference, the
+    zero entries of the lower triangle+diagonal that `.view(-1)` keeps.
+    """
+    trajs = jnp.asarray(trajs)
+    pos = trajs[..., :2]
+    b = pos.shape[0]
+    via = pos.transpose(1, 0, 2)  # [H, B, 2]
+    d = jnp.linalg.norm(via[:, :, None, :] - via[:, None, :, :], axis=-1)  # [H,B,B]
+    triu = jnp.triu(d, k=1).reshape(d.shape[0], -1) + eps
+    # torch.var defaults to unbiased (ddof=1)
+    return jnp.var(triu, axis=-1, ddof=1).sum()
+
+
+def compute_collision_intensity(trajs, box_centers, box_sizes) -> jnp.ndarray:
+    """[B] fraction of waypoints inside any box (ref :48-82)."""
+    trajs = jnp.asarray(trajs)
+    box_centers = jnp.asarray(box_centers, jnp.float32)
+    box_sizes = jnp.asarray(box_sizes, jnp.float32)
+    if box_sizes.ndim == 1:
+        box_sizes = jnp.repeat(box_sizes[:, None], 2, axis=-1)
+    xy = trajs[:, :, None, :2]
+    lower = (box_centers - box_sizes / 2)[None, None]
+    upper = (box_centers + box_sizes / 2)[None, None]
+    inside = jnp.all((xy >= lower) & (xy <= upper), axis=-1)  # [B, H, n_boxes]
+    return inside.any(axis=-1).astype(jnp.float32).mean(axis=1)
+
+
+def trajectory_success_and_metrics(trajs_final, collision_intensities,
+                                   threshold: float = 0.01) -> Dict:
+    """ref :84-126. Returns plain-python dict for the harness/JSON dump."""
+    ci = np.asarray(collision_intensities)
+    successful = ci <= threshold
+    success = 1 if successful.any() else 0
+    free_idx = np.where(successful)[0]
+    trajs_final = np.asarray(trajs_final)
+    trajs_free = trajs_final[free_idx]
+    metrics = {
+        "success": success,
+        "collision_intensity": float(ci.mean() * 100),
+        "path_length": None,
+        "path_length_std": None,
+        "waypoint_variance": None,
+        "n_free_trajectories": int(len(trajs_free)),
+    }
+    if len(trajs_free) > 0:
+        pl = np.asarray(compute_path_length(trajs_free))
+        metrics["path_length"] = float(pl.mean())
+        metrics["path_length_std"] = float(pl.std(ddof=1)) if len(pl) > 1 else 0.0
+        if len(trajs_free) == 1:
+            metrics["waypoint_variance"] = 0.0
+        else:
+            var = float(compute_variance_waypoints(trajs_free))
+            metrics["waypoint_variance"] = var if np.isfinite(var) else None
+    return metrics
+
+
+def dynamic_episode_metrics(chain_start: np.ndarray, chain_obs: np.ndarray,
+                            goal_pos: np.ndarray, goal_safe_threshold: float,
+                            static_collision: bool, pursuer_radius: float) -> Dict:
+    """ref DynamicMetrics :131-171. chain_start: [K+1, 2] executed evader
+    positions; chain_obs: [K, 2] pursuer positions per control step."""
+    safety_margin = 0.02
+    capture_threshold = pursuer_radius + safety_margin
+    pursuer_capture = False
+    for i in range(len(chain_obs)):
+        evader_idx = i + 2
+        if evader_idx >= len(chain_start):
+            break
+        if np.linalg.norm(chain_start[evader_idx] - chain_obs[i]) <= capture_threshold:
+            pursuer_capture = True
+            break
+    captured = bool(static_collision or pursuer_capture)
+    dist_goal = float(np.linalg.norm(chain_start[-1] - np.asarray(goal_pos)))
+    goal_reached = (dist_goal <= goal_safe_threshold) and not captured
+    path_length = float(np.sum(np.linalg.norm(np.diff(chain_start, axis=0), axis=-1)))
+    return {
+        "static_collision": bool(static_collision),
+        "pursuer_capture": pursuer_capture,
+        "captured": captured,
+        "goal_reached": goal_reached,
+        "path_length": path_length if not captured else None,
+        "score": 0.5 * float(goal_reached) + 0.5 * float(not captured),
+    }

@@ -1,0 +1,128 @@
+"""Cross-attention conditioning blocks (stable-diffusion style).
+
+Topological parity with `mpd/models/layers/layers_attention_mini.py`:
+GEGLU (:38), FeedForward (:48, glu=True), CrossAttention (:83, heads=4,
+dim_head=64, biasless qkv), BasicTransformerBlock (:130, self-attn ->
+cross-attn on scene latents -> GEGLU FF), SpatialTransformer (:152,
+GroupNorm(eps 1e-6) -> 1x1 proj_in -> depth blocks -> zero-init 1x1 proj_out
+-> residual).
+
+Layout is feature-last [B, H, C]; 1x1 convs are Dense on the channel axis.
+Attention softmax runs in f32 regardless of compute dtype.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ramp_tpu.nn.layers import group_norm_n_groups
+
+
+class GEGLU(nn.Module):
+    dim_out: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.dim_out * 2, dtype=self.dtype)(x)
+        x, gate = jnp.split(x, 2, axis=-1)
+        return x * nn.gelu(gate)
+
+
+class FeedForward(nn.Module):
+    dim: int
+    mult: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = int(self.dim * self.mult)
+        x = GEGLU(inner, dtype=self.dtype)(x)
+        return nn.Dense(self.dim, dtype=self.dtype)(x)
+
+
+class CrossAttention(nn.Module):
+    """Multi-head cross attention; self-attention when context is None."""
+    query_dim: int
+    context_dim: Optional[int] = None
+    heads: int = 8
+    dim_head: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        inner = self.dim_head * self.heads
+        ctx = x if context is None else context
+        if ctx.ndim == 2:
+            ctx = ctx[:, None, :]
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+
+        b, n, _ = q.shape
+        m = k.shape[1]
+
+        def split(t, length):
+            return t.reshape(b, length, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q, n), split(k, m), split(v, m)
+        sim = jnp.einsum("bhid,bhjd->bhij", q, k,
+                         preferred_element_type=jnp.float32) * (self.dim_head ** -0.5)
+        attn = jax.nn.softmax(sim, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+        return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
+
+
+class BasicTransformerBlock(nn.Module):
+    dim: int
+    n_heads: int
+    d_head: int
+    context_dim: Optional[int] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        h = nn.LayerNorm(dtype=jnp.float32)(x.astype(jnp.float32)).astype(self.dtype)
+        x = CrossAttention(self.dim, None, self.n_heads, self.d_head, self.dtype)(h) + x
+        h = nn.LayerNorm(dtype=jnp.float32)(x.astype(jnp.float32)).astype(self.dtype)
+        x = CrossAttention(self.dim, self.context_dim, self.n_heads, self.d_head,
+                           self.dtype)(h, context=context) + x
+        h = nn.LayerNorm(dtype=jnp.float32)(x.astype(jnp.float32)).astype(self.dtype)
+        x = FeedForward(self.dim, dtype=self.dtype)(h) + x
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """Conditioning transformer over the trajectory horizon.
+
+    ref layers_attention_mini.py:152-202. The output projection is
+    zero-initialized (ref zero_module :68-74) so the block starts as identity.
+    """
+    in_channels: int
+    n_heads: int = 4
+    d_head: int = 64
+    depth: int = 2
+    context_dim: Optional[int] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        inner = self.n_heads * self.d_head
+        x_in = x
+        h = nn.GroupNorm(num_groups=group_norm_n_groups(self.in_channels),
+                         epsilon=1e-6, dtype=jnp.float32)(x.astype(jnp.float32))
+        h = h.astype(self.dtype)
+        h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
+        for i in range(self.depth):
+            h = BasicTransformerBlock(inner, self.n_heads, self.d_head,
+                                      self.context_dim, self.dtype,
+                                      name=f"block_{i}")(h, context=context)
+        h = nn.Dense(self.in_channels, dtype=self.dtype, name="proj_out",
+                     kernel_init=nn.initializers.zeros,
+                     bias_init=nn.initializers.zeros)(h)
+        return h + x_in

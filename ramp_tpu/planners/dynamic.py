@@ -1,0 +1,409 @@
+"""Closed-loop pursuit-evasion replanner (dynamic model), fully jitted.
+
+Behavioral parity with `DynamicGaussianDiffusionModel.ddim_p_sample_loop`
+(`diffusion_model_dynamic.py:495-624`) and its helpers:
+
+  STAGE I   (ref :537-549): 10-step DDIM full-horizon plan, batch of
+            n_samples, CFG w=2.5 (ref :157-159), best pick at collision
+            threshold 0.02 via `cost.py`.
+  STAGE II  (ref :552-621): up to 60 control steps; each step re-noises the
+            best plan to DDIM timestep ts[-5] = 40 via q_sample (ref
+            :556-561), clamps executed history + goal, runs the last 5 DDIM
+            steps (40,30,20,10,0), applies segment smoothing sm() (ref
+            :192-214) with window 3 before the final step and window 2
+            after, applies APF (static boxes + pursuer with goal blend, ref
+            :376-435) at the final step, re-selects the best trajectory with
+            a partially-observable pursuer gate (dist < 0.4 adds the pursuer
+            cloud to the collision set, ref :592-598), replans from scratch
+            when no trajectory is collision-free (ref :461-492, 599-608),
+            and terminates when within 0.2 of the goal (ref :620-621).
+  Pursuer   updates once per control step via the pursuit dynamics (ref
+            `core/utils.py:91-136`, `primitives.py:102-107`), pursuing the
+            first sample's current waypoint.
+
+TPU-native design: the whole closed loop is ONE `lax.scan` over control
+steps inside ONE jit — no host round-trips for KD-trees, pursuit dynamics,
+or cost selection. Data-dependent constructs become bounded equivalents:
+
+  * early goal exit        -> a `done` flag freezing the carried state
+  * `while best is None:`  -> one `lax.cond` replan pass + a min-collision
+                              fallback pick (the reference loops until a
+                              collision-free plan appears; with the replan
+                              pass this virtually always succeeds in one try)
+  * growing executed history -> a fixed [H, D] buffer + row-count mask
+  * per-step KD-tree rebuild -> brute-force nearest-point reduction on device
+  * replan batch            -> n_samples (reference uses 30 vs 35; equal
+                              shapes keep the cond branches congruent)
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ramp_tpu.core import diffusion as dfn
+from ramp_tpu.core.schedules import make_schedule, ddim_timesteps
+from ramp_tpu.guidance.apf import apf_windowed, apf_pursuer
+from ramp_tpu.guidance.cost import collision_counts, select_best_trajectory
+from ramp_tpu.nn.encoders import ObstacleEncoderSet2D
+from ramp_tpu.nn.unet import TemporalUnet, UNET_DIM_MULTS
+from ramp_tpu.sampler.energy import make_eps_fn
+from ramp_tpu.sampler.guidance_fold import cfg_fold, guided_eps
+from ramp_tpu.scenes.dynamics import PursuitParams, pursuit_step
+from ramp_tpu.scenes.pointclouds import generate_sphere_points
+
+
+@dataclasses.dataclass(frozen=True)
+class DynamicPlannerConfig:
+    horizon: int = 48
+    state_dim: int = 4
+    n_diffusion_steps: int = 100
+    variance_schedule: str = "exponential"
+    predict_epsilon: bool = True
+    unet_input_dim: int = 32
+    unet_dim_mults_option: int = 1
+    energy_mode: bool = True
+    cfg_weight: float = 2.5                  # ref diffusion_model_dynamic.py:157
+    ddim_steps_high: int = 10                # ref :47
+    ddim_steps_low: int = 5                  # ref :48
+    max_iterations: int = 60                 # ref :526
+    safe_threshold: float = 0.2              # ref :528
+    collision_threshold_high: float = 0.02   # ref :532
+    collision_threshold_low: float = 0.05    # ref :533
+    # APF constants (ref :380-387)
+    points_per_obstacle: int = 64
+    pursuer_radius: float = 0.1              # obs_radius
+    apf_threshold_static: float = 0.2
+    apf_threshold_pred: float = 0.5          # 0.4 + obs_radius
+    apf_strength_static: float = 0.15
+    apf_strength_pred: float = 0.15
+    apf_window_static: int = 8
+    apf_window_pred: int = 5
+    pursuer_cost_gate: float = 0.4           # ref :529 distance_threshold_pred
+    pursuit: PursuitParams = PursuitParams()
+    smoothing_dt: float = 0.1                # ref sm() :192
+    smoothing_max_vel: float = 0.8
+    dtype: str = "bfloat16"
+
+
+class EpisodeResult(NamedTuple):
+    """Per-control-step outputs (fixed length max_iterations)."""
+    plans: jax.Array          # [K, H, D] selected plan per step
+    pursuer_centers: jax.Array  # [K, 2]
+    evader_states: jax.Array  # [K, D] chain_start entries (x[stepp])
+    valid: jax.Array          # [K] bool — step executed before termination
+    n_steps: jax.Array        # scalar int
+    high_plan: jax.Array      # [H, D] STAGE I plan
+
+
+def _smooth_segment(x: jax.Array, stepp: jax.Array, window: int,
+                    dt: float, max_vel: float) -> jax.Array:
+    """sm() applied at rows [stepp+1, stepp+window]. ref :192-214, :571-577.
+
+    x: [B, H, D]. The reference indexes rows stepp..stepp+window directly
+    (relying on early termination to stay in range); dynamic_update_slice's
+    index clamping provides the bounded equivalent.
+    """
+    b, h, d = x.shape
+    s1 = jnp.take_along_axis(x, stepp[None, None, None].repeat(b, 0).repeat(d, 2), axis=1)[:, 0]
+    idx2 = jnp.clip(stepp + window, 0, h - 1)
+    s2 = jnp.take_along_axis(x, idx2[None, None, None].repeat(b, 0).repeat(d, 2), axis=1)[:, 0]
+    delta = s2[:, :2] - s1[:, :2]
+    total_time = window * dt
+    desired_v = delta / total_time
+    vmag = jnp.linalg.norm(desired_v, axis=-1, keepdims=True)
+    dist = jnp.linalg.norm(delta, axis=-1, keepdims=True)
+    direction = jnp.where(dist > 1e-6, delta / jnp.where(dist > 1e-6, dist, 1.0), 0.0)
+    base_v = jnp.where(vmag > max_vel, direction * max_vel, desired_v)
+    ts = (jnp.arange(1, window + 1, dtype=jnp.float32) * dt)[None, :, None]
+    smooth_pos = s1[:, None, :2] + ts * base_v[:, None, :]
+    smooth_vel = jnp.broadcast_to(base_v[:, None, :], (b, window, 2))
+    seg = jnp.concatenate([smooth_pos, smooth_vel], axis=-1)
+    return jax.lax.dynamic_update_slice(x, seg.astype(x.dtype),
+                                        (0, stepp + 1, 0))
+
+
+class DynamicPlanner:
+    def __init__(self, config: DynamicPlannerConfig = DynamicPlannerConfig()):
+        self.config = config
+        dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+        self.unet = TemporalUnet(
+            state_dim=config.state_dim,
+            unet_input_dim=config.unet_input_dim,
+            dim_mults=UNET_DIM_MULTS[config.unet_dim_mults_option],
+            context_dim=320,
+            dtype=dtype,
+        )
+        self.encoder = ObstacleEncoderSet2D(dtype=dtype)
+        self.schedule = make_schedule(config.variance_schedule, config.n_diffusion_steps)
+        self._eps_fn = make_eps_fn(self.unet.apply, config.energy_mode)
+        self._run_jit = {}
+
+    def init_params(self, key: jax.Array, n_obstacles: int = 6, n_points: int = 64):
+        k1, k2 = jax.random.split(key)
+        x = jnp.zeros((1, self.config.horizon, self.config.state_dim))
+        t = jnp.zeros((1,), jnp.int32)
+        lat = jnp.zeros((1, 1, 320))
+        pts = jnp.zeros((1, n_obstacles, n_points, 2))
+        return {"unet": self.unet.init(k1, x, t, lat),
+                "encoder": self.encoder.init(k2, pts)}
+
+    # ------------------------------------------------------------- internals
+    def _ddim_step(self, params, fold, x, t_scalar, endpoints):
+        """One plain DDIM step (no APF). ref ddim_p_sample :338-373."""
+        cfg = self.config
+        b = x.shape[0]
+        t = jnp.full((b,), t_scalar, jnp.int32)
+        e = guided_eps(self._eps_fn, params["unet"], x, t, fold)
+        x_recon = jnp.clip(
+            dfn.predict_start_from_noise(self.schedule, x, t, e, cfg.predict_epsilon),
+            -1.0, 1.0)
+        step_ratio = cfg.n_diffusion_steps // cfg.ddim_steps_high
+        x = dfn.ddim_step(self.schedule, x, x_recon, t, step_ratio)
+        return dfn.apply_hard_conditioning(x, endpoints)
+
+    def _ddim_step_apf(self, params, fold, x, t_scalar, endpoints, stepp,
+                       static_apf_pts, pursuer_pts, pursuer_center, goal_state):
+        """Final inner DDIM step with APF on x0-hat. ref :374-447."""
+        cfg = self.config
+        b, h, d = x.shape
+        t = jnp.full((b,), t_scalar, jnp.int32)
+        e = guided_eps(self._eps_fn, params["unet"], x, t, fold)
+        x_recon = jnp.clip(
+            dfn.predict_start_from_noise(self.schedule, x, t, e, cfg.predict_epsilon),
+            -1.0, 1.0)
+
+        # evader positions at the current control-step row (ref :376 x[:, forward_t])
+        row = jnp.clip(stepp, 0, h - 1)
+        x_start_rows = jax.lax.dynamic_slice(x, (0, row, 0), (b, 1, d))[:, 0, :2]
+        dist_to_pursuer = jnp.linalg.norm(x_start_rows - pursuer_center[None], axis=-1)
+
+        def per_traj(traj, dist):
+            traj = apf_windowed(traj, static_apf_pts,
+                                cfg.apf_threshold_static, cfg.apf_strength_static,
+                                cfg.apf_window_static)
+            near = dist < cfg.apf_threshold_pred
+            traj = jax.lax.cond(
+                near,
+                lambda tr: apf_pursuer(tr, pursuer_pts, cfg.apf_threshold_pred,
+                                       cfg.apf_strength_pred, goal_state),
+                lambda tr: tr, traj)
+            return traj
+
+        x_recon = jax.vmap(per_traj)(x_recon, dist_to_pursuer)
+        x_recon = x_recon.at[:, -1].set(goal_state)  # ref :435
+        step_ratio = cfg.n_diffusion_steps // cfg.ddim_steps_high
+        x = dfn.ddim_step(self.schedule, x, x_recon, t, step_ratio)
+        return dfn.apply_hard_conditioning(x, endpoints)
+
+    def _clamp_history(self, x, history, h_count):
+        """Overwrite rows [0, h_count) with the executed history. ref :563-565."""
+        rows = jnp.arange(x.shape[1])
+        mask = (rows < h_count)[None, :, None]
+        return jnp.where(mask, history[None], x)
+
+    def _select(self, x, obstacle_pts_flat, pursuer_pts, pursuer_center, stepp,
+                threshold):
+        """Cost selection with the partially-observable pursuer gate.
+
+        ref :592-598: if |x[0, stepp] - pursuer| < 0.4, the pursuer cloud is
+        appended to the collision set.
+        """
+        cfg = self.config
+        b, h, d = x.shape
+        row = jnp.clip(stepp, 0, h - 1)
+        evader = jax.lax.dynamic_slice(x, (0, row, 0), (1, 1, d))[0, 0, :2]
+        near = jnp.linalg.norm(evader - pursuer_center) < cfg.pursuer_cost_gate
+        # mask the pursuer cloud far away instead of changing shapes
+        far_pts = jnp.full_like(pursuer_pts, 1e6)
+        extra = jnp.where(near, pursuer_pts, far_pts)
+        pts = jnp.concatenate([obstacle_pts_flat, extra], axis=0)
+        return select_best_trajectory(x, pts, collision_threshold=threshold)
+
+    def _refine(self, params, fold, x_plan, history, h_count, stepp, key,
+                endpoints, static_apf_pts, pursuer_pts, pursuer_center,
+                goal_state):
+        """One STAGE-II refinement: re-noise + last-5 DDIM steps. ref :554-587."""
+        cfg = self.config
+        b = fold.branch_latents.shape[0]  # unused; batch from caller
+        n = x_plan.shape[0]
+        ts_high = ddim_timesteps(cfg.n_diffusion_steps, cfg.ddim_steps_high)
+        ts_low = ts_high[-cfg.ddim_steps_low:]
+        noise_t = int(ts_low[0])
+
+        k_noise, key = jax.random.split(key)
+        noise = jax.random.normal(k_noise, x_plan.shape, jnp.float32)
+        t_noise = jnp.full((n,), noise_t, jnp.int32)
+        x = dfn.q_sample(self.schedule, x_plan, t_noise, noise)
+        x = x.at[:, 0, 2:].set(0.0)
+        x = self._clamp_history(x, history, h_count)
+        x = x.at[:, -1].set(goal_state)
+
+        for i, t_scalar in enumerate(ts_low):
+            is_last = i == len(ts_low) - 1
+            if is_last:
+                # smoothing window 3 before the final (APF) step, ref :571-577
+                x = _smooth_segment(x, stepp, 3, cfg.smoothing_dt, cfg.smoothing_max_vel)
+                x = self._ddim_step_apf(params, fold, x, int(t_scalar), endpoints,
+                                        stepp, static_apf_pts, pursuer_pts,
+                                        pursuer_center, goal_state)
+            else:
+                x = self._ddim_step(params, fold, x, int(t_scalar), endpoints)
+            x = self._clamp_history(x, history, h_count)
+            x = x.at[:, -1].set(goal_state)
+            x = x.at[:, 0, 2:].set(0.0)
+        return x
+
+    def _replan_scratch(self, params, fold, shape, history, h_count, stepp, key,
+                        endpoints, static_apf_pts, pursuer_pts, pursuer_center,
+                        goal_state):
+        """10-step DDIM from fresh noise with history clamping. ref :461-492."""
+        cfg = self.config
+        ts_high = ddim_timesteps(cfg.n_diffusion_steps, cfg.ddim_steps_high)
+        x = jax.random.normal(key, shape, jnp.float32)
+        x = dfn.apply_hard_conditioning(x, endpoints)
+        x = self._clamp_history(x, history, h_count)
+        for i, t_scalar in enumerate(ts_high):
+            if i == len(ts_high) - 1:  # use_apf at t == 0, ref :480-481
+                x = self._ddim_step_apf(params, fold, x, int(t_scalar), endpoints,
+                                        stepp, static_apf_pts, pursuer_pts,
+                                        pursuer_center, goal_state)
+            else:
+                x = self._ddim_step(params, fold, x, int(t_scalar), endpoints)
+            x = dfn.apply_hard_conditioning(x, endpoints)
+            x = self._clamp_history(x, history, h_count)
+        return x
+
+    # ------------------------------------------------------------------ run
+    def _run(self, params, key, obstacle_pts, static_apf_pts, start, goal,
+             pursuer_init, n_samples: int):
+        cfg = self.config
+        h, d = cfg.horizon, cfg.state_dim
+        latents = self.encoder.apply(params["encoder"], obstacle_pts[None])
+        fold = cfg_fold(latents[0], cfg.cfg_weight)
+        endpoints = dfn.Endpoints(start=start, goal=goal)
+        goal_state = goal
+        obstacle_pts_flat = obstacle_pts.reshape(-1, 2)
+        ts_high = ddim_timesteps(cfg.n_diffusion_steps, cfg.ddim_steps_high)
+
+        # ---------------- STAGE I: high-level plan (ref :537-549)
+        key, k_init = jax.random.split(key)
+        x = jax.random.normal(k_init, (n_samples, h, d), jnp.float32)
+        x = dfn.apply_hard_conditioning(x, endpoints)
+        for t_scalar in ts_high:
+            x = self._ddim_step(params, fold, x, int(t_scalar), endpoints)
+        sel = select_best_trajectory(x, obstacle_pts, cfg.collision_threshold_high)
+        # fallback when nothing is collision-free: fewest colliding waypoints
+        fallback = jnp.argmin(collision_counts(x, obstacle_pts_flat,
+                                               cfg.collision_threshold_high))
+        best = jnp.where(sel.any_free, sel.best_index, fallback)
+        high_plan = x[best]
+        x_best = high_plan
+
+        history0 = jnp.zeros((h, d)).at[0].set(x_best[0])
+
+        class Carry(NamedTuple):
+            x_best: jax.Array
+            history: jax.Array
+            h_count: jax.Array
+            pursuer: jax.Array
+            key: jax.Array
+            done: jax.Array
+
+        carry0 = Carry(x_best, history0, jnp.asarray(1), pursuer_init,
+                       key, jnp.asarray(False))
+
+        def control_step(carry: Carry, k_idx):
+            cfgc = cfg
+            stepp = k_idx  # == reference stepp at loop start
+            key = carry.key
+            key, k_pts, k_refine, k_replan = jax.random.split(key, 4)
+
+            # pursuer update: once per control step, pursuing the first
+            # sample's current waypoint (ref dynamics use robot_position[0])
+            row = jnp.clip(stepp, 0, h - 1)
+            evader_now = jax.lax.dynamic_slice(carry.x_best, (row, 0), (1, d))[0, :2]
+            pursuer = pursuit_step(k_idx, carry.pursuer, evader_now, cfgc.pursuit)
+            pursuer_pts = generate_sphere_points(
+                k_pts, pursuer, jnp.asarray(cfgc.pursuer_radius),
+                cfgc.points_per_obstacle)
+
+            x_plan = jnp.broadcast_to(carry.x_best[None], (n_samples, h, d))
+            x = self._refine(params, fold, x_plan, carry.history, carry.h_count,
+                             stepp, k_refine, endpoints, static_apf_pts,
+                             pursuer_pts, pursuer, goal_state)
+            # smoothing window 2 after refinement (ref :589-591)
+            x = _smooth_segment(x, stepp, 2, cfgc.smoothing_dt, cfgc.smoothing_max_vel)
+
+            sel = self._select(x, obstacle_pts_flat, pursuer_pts, pursuer,
+                               stepp, cfgc.collision_threshold_low)
+
+            def do_replan(_):
+                xr = self._replan_scratch(params, fold, (n_samples, h, d),
+                                          carry.history, carry.h_count, stepp,
+                                          k_replan, endpoints, static_apf_pts,
+                                          pursuer_pts, pursuer, goal_state)
+                xr = _smooth_segment(xr, stepp, 2, cfgc.smoothing_dt,
+                                     cfgc.smoothing_max_vel)
+                return xr
+
+            x = jax.lax.cond(sel.any_free, lambda _: x, do_replan, None)
+            sel2 = self._select(x, obstacle_pts_flat, pursuer_pts, pursuer,
+                                stepp, cfgc.collision_threshold_low)
+            # final pick; if still nothing free, min collision-count fallback
+            fallback = jnp.argmin(collision_counts(
+                x, obstacle_pts_flat, cfgc.collision_threshold_low))
+            pick = jnp.where(sel2.any_free, sel2.best_index, fallback)
+            x_sel = x[pick]
+            x_sel = x_sel.at[0, 2:].set(0.0)  # ref :609
+
+            next_row = jnp.clip(stepp + 1, 0, h - 1)
+            next_state = jax.lax.dynamic_slice(x_sel, (next_row, 0), (1, d))[0]
+            new_history = jax.lax.dynamic_update_slice(
+                carry.history, next_state[None], (next_row, 0))
+            cur_state = jax.lax.dynamic_slice(x_sel, (row, 0), (1, d))[0]
+
+            # termination: |x[stepp] - goal| < safe_threshold (ref :620-621;
+            # post-increment stepp-1 == this step's row)
+            reached = jnp.linalg.norm(cur_state[:2] - goal_state[:2]) < cfgc.safe_threshold
+
+            was_done = carry.done
+            new_carry = Carry(
+                x_best=jnp.where(was_done, carry.x_best, x_sel),
+                history=jnp.where(was_done, carry.history, new_history),
+                h_count=jnp.where(was_done, carry.h_count, carry.h_count + 1),
+                pursuer=jnp.where(was_done, carry.pursuer, pursuer),
+                key=key,
+                done=jnp.logical_or(was_done, reached),
+            )
+            out = (jnp.where(was_done, carry.x_best, x_sel),
+                   jnp.where(was_done, carry.pursuer, pursuer),
+                   jnp.where(was_done, carry.x_best[jnp.clip(stepp, 0, h - 1)], cur_state),
+                   ~was_done)
+            return new_carry, out
+
+        carry_f, (plans, pursuers, evaders, valid) = jax.lax.scan(
+            control_step, carry0, jnp.arange(cfg.max_iterations))
+
+        return EpisodeResult(
+            plans=plans, pursuer_centers=pursuers, evader_states=evaders,
+            valid=valid, n_steps=jnp.sum(valid), high_plan=high_plan)
+
+    def run_episode(self, params, key, obstacle_pts, static_apf_pts, start, goal,
+                    pursuer_init, n_samples: int = 35) -> EpisodeResult:
+        """Run one closed-loop episode under jit.
+
+        obstacle_pts: [O, P, 2] dataset obstacle clouds (collision checks);
+        static_apf_pts: [M, 2] box-surface points for APF (the reference
+        generates these from the first 4 boxes' centers/sizes at episode
+        setup, ref :516-517 + APFhelper_dynamic.py:82-87);
+        pursuer_init: [2] initial pursuer position.
+        """
+        if n_samples not in self._run_jit:
+            self._run_jit[n_samples] = jax.jit(
+                partial(self._run, n_samples=n_samples))
+        return self._run_jit[n_samples](params, key, obstacle_pts, static_apf_pts,
+                                        start, goal, pursuer_init)

@@ -1,0 +1,93 @@
+"""3-D planner: DDPM ancestral sampling with CFG / energy composition.
+
+Behavioral parity with `GaussianDiffusionModel3d`
+(`diffusion_model_3d.py:19-390`) + `Config3d` (`config/base_config.py:93-103`):
+T=25 exponential schedule, DDPM ancestral (ddim=False default), CFG w=5.75
+(ref :150-152) or single-compose w1=w2=5 (ref :163-182), n_samples=1,
+horizon 64, state_dim 6 (xyz + vel).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ramp_tpu.core import diffusion as dfn
+from ramp_tpu.core.schedules import make_schedule
+from ramp_tpu.nn.encoders import ObstacleEncoder3D
+from ramp_tpu.nn.unet import TemporalUnet, UNET_DIM_MULTS
+from ramp_tpu.sampler.ddpm import ddpm_sample_chain
+from ramp_tpu.sampler.energy import make_eps_fn
+from ramp_tpu.sampler.guidance_fold import cfg_fold, compose_fold
+
+
+@dataclasses.dataclass(frozen=True)
+class Planner3DConfig:
+    horizon: int = 64
+    state_dim: int = 6
+    n_diffusion_steps: int = 25
+    variance_schedule: str = "exponential"
+    predict_epsilon: bool = True
+    unet_input_dim: int = 32
+    unet_dim_mults_option: int = 1
+    energy_mode: bool = True
+    compose: bool = False
+    cfg_weight: float = 5.75               # ref diffusion_model_3d.py:150
+    compose_weights: Tuple[float, float] = (5.0, 5.0)  # ref :169-170
+    n_diffusion_steps_without_noise: int = 0
+    dtype: str = "bfloat16"
+
+
+class Planner3D:
+    def __init__(self, config: Planner3DConfig = Planner3DConfig()):
+        self.config = config
+        dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+        self.unet = TemporalUnet(
+            state_dim=config.state_dim,
+            unet_input_dim=config.unet_input_dim,
+            dim_mults=UNET_DIM_MULTS[config.unet_dim_mults_option],
+            context_dim=256,
+            dtype=dtype,
+        )
+        self.encoder = ObstacleEncoder3D(dtype=dtype)
+        self.schedule = make_schedule(config.variance_schedule, config.n_diffusion_steps)
+        self._eps_fn = make_eps_fn(self.unet.apply, config.energy_mode)
+        self._plan_jit = {}
+
+    def init_params(self, key: jax.Array, n_obstacles: int = 20, n_points: int = 128):
+        k1, k2 = jax.random.split(key)
+        x = jnp.zeros((1, self.config.horizon, self.config.state_dim))
+        t = jnp.zeros((1,), jnp.int32)
+        lat = jnp.zeros((1, 1, 256))
+        pts = jnp.zeros((1, n_obstacles, n_points, 3))
+        return {"unet": self.unet.init(k1, x, t, lat),
+                "encoder": self.encoder.init(k2, pts)}
+
+    def _plan(self, params, key, obstacle_pts, start, goal, n_samples: int,
+              return_chain: bool):
+        cfg = self.config
+        if cfg.compose:
+            latents = self.encoder.apply(params["encoder"], obstacle_pts)
+            fold = compose_fold(latents[0], latents[1], *cfg.compose_weights)
+        else:
+            latents = self.encoder.apply(params["encoder"], obstacle_pts[None])
+            fold = cfg_fold(latents[0], cfg.cfg_weight)
+        endpoints = dfn.Endpoints(start=start, goal=goal)
+        shape = (n_samples, cfg.horizon, cfg.state_dim)
+        return ddpm_sample_chain(
+            self.schedule, self._eps_fn, params["unet"], key, shape,
+            endpoints, fold,
+            n_diffusion_steps_without_noise=cfg.n_diffusion_steps_without_noise,
+            predict_epsilon=cfg.predict_epsilon,
+            return_chain=return_chain)
+
+    def plan(self, params, key, obstacle_pts, start, goal, n_samples: int = 1,
+             return_chain: bool = True):
+        sig = (n_samples, return_chain)
+        if sig not in self._plan_jit:
+            self._plan_jit[sig] = jax.jit(
+                partial(self._plan, n_samples=n_samples, return_chain=return_chain))
+        return self._plan_jit[sig](params, key, obstacle_pts, start, goal)

@@ -1,0 +1,133 @@
+"""Obstacle point-cloud generators.
+
+Distribution parity with the reference generators:
+  * box points: boundary + interior samples. Two variants exist in the
+    reference — the env/dataset variant draws the boundary count from
+    [P/2, 2P/3] (`env_simple2dquant.py:63-97`) and the APF variant from
+    [2P/3, P] (`APFhelper_dynamic.py:41-68`); both are provided.
+  * sphere points: golden-angle spiral on the circle boundary (90%) plus
+    uniform interior samples (10%) (`APFhelper_dynamic.py:18-39`).
+
+Jax versions take explicit PRNG keys (device-side, used inside the jitted
+closed-loop planner for pursuer clouds); numpy versions serve host-side
+dataset generation.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ----------------------------- numpy (host) -------------------------------
+
+def generate_sphere_points_np(center, radius, num_points, surface_ratio=0.9,
+                              rng: np.random.Generator | None = None):
+    """ref APFhelper_dynamic.py:18-39 (2-D circle, golden-angle boundary)."""
+    rng = rng or np.random.default_rng()
+    surface_points = int(num_points * surface_ratio)
+    inner_points = num_points - surface_points
+    golden = np.pi * (3 - np.sqrt(5))
+    theta = golden * np.arange(surface_points)
+    x = radius * np.cos(theta) + center[0]
+    y = radius * np.sin(theta) + center[1]
+    if inner_points > 0:
+        r_in = radius * np.sqrt(rng.uniform(0, 1, inner_points))
+        t_in = rng.uniform(0, 2 * np.pi, inner_points)
+        x = np.concatenate([x, r_in * np.cos(t_in) + center[0]])
+        y = np.concatenate([y, r_in * np.sin(t_in) + center[1]])
+    return np.column_stack([x, y])
+
+
+def generate_box_points_np(center, size, num_points, boundary_lo_frac=0.5,
+                           boundary_hi_frac=2.0 / 3.0,
+                           rng: np.random.Generator | None = None):
+    """ref env_simple2dquant.py:63-97 (boundary count in [P/2, 2P/3])."""
+    rng = rng or np.random.default_rng()
+    cx, cy = center
+    w, h = size
+    left, right = cx - w / 2, cx + w / 2
+    top, bottom = cy + h / 2, cy - h / 2
+    lo = int(num_points * boundary_lo_frac)
+    hi = int(num_points * boundary_hi_frac)
+    n_boundary = int(rng.integers(lo, hi + 1))
+    n_inside = num_points - n_boundary
+
+    edges = np.array([[left, top], [right, top], [right, bottom], [left, bottom]])
+    edge_lengths = np.array([w, h, w, h], dtype=np.float64).repeat(2)
+    edge_pts = rng.random(n_boundary) * edge_lengths.sum()
+    cum = np.cumsum(edge_lengths)
+    idx = np.searchsorted(cum, edge_pts)
+    t = (edge_pts - np.concatenate([[0], cum[:-1]])[idx]) / edge_lengths[idx]
+    start = edges[idx % 4]
+    end = edges[(idx + 1) % 4]
+    boundary = start + t[:, None] * (end - start)
+
+    inside = rng.random((n_inside, 2))
+    inside[:, 0] = inside[:, 0] * w + left
+    inside[:, 1] = inside[:, 1] * h + bottom
+    return np.concatenate([boundary, inside], axis=0)
+
+
+def scene_obstacle_points_np(box_centers, box_sizes, points_per_box=64,
+                             rng: np.random.Generator | None = None):
+    """[O, P, 2] obstacle point tensor for a set of boxes (dataset layout)."""
+    rng = rng or np.random.default_rng()
+    return np.stack([
+        generate_box_points_np(c, s, points_per_box, rng=rng)
+        for c, s in zip(np.asarray(box_centers), np.asarray(box_sizes))
+    ]).astype(np.float32)
+
+
+# ------------------------------ jax (device) ------------------------------
+
+def generate_sphere_points(key: jax.Array, center: jax.Array, radius: jax.Array,
+                           num_points: int, surface_ratio: float = 0.9) -> jax.Array:
+    """Device-side pursuer point cloud (used inside the jitted replanner).
+
+    Same distribution as the numpy version; shapes are static.
+    """
+    surface_points = int(num_points * surface_ratio)
+    inner_points = num_points - surface_points
+    golden = jnp.pi * (3 - jnp.sqrt(5.0))
+    theta = golden * jnp.arange(surface_points, dtype=jnp.float32)
+    surf = jnp.stack([radius * jnp.cos(theta), radius * jnp.sin(theta)], axis=-1)
+    if inner_points > 0:
+        k1, k2 = jax.random.split(key)
+        r_in = radius * jnp.sqrt(jax.random.uniform(k1, (inner_points,)))
+        t_in = jax.random.uniform(k2, (inner_points,), maxval=2 * jnp.pi)
+        inner = jnp.stack([r_in * jnp.cos(t_in), r_in * jnp.sin(t_in)], axis=-1)
+        pts = jnp.concatenate([surf, inner], axis=0)
+    else:
+        pts = surf
+    return pts + center[None, :]
+
+
+def generate_box_points(key: jax.Array, center: jax.Array, size: jax.Array,
+                        num_points: int, boundary_frac: float = 0.6) -> jax.Array:
+    """Device-side box cloud with a fixed boundary fraction (static shapes).
+
+    The reference randomizes the boundary/interior split; under jit the split
+    must be static, so we fix it at the mean of the reference's range.
+    """
+    n_boundary = int(num_points * boundary_frac)
+    n_inside = num_points - n_boundary
+    w, h = size[0], size[1]
+    left, bottom = center[0] - w / 2, center[1] - h / 2
+    edges = jnp.stack([
+        jnp.stack([left, bottom + h]), jnp.stack([left + w, bottom + h]),
+        jnp.stack([left + w, bottom]), jnp.stack([left, bottom]),
+    ])
+    edge_lengths = jnp.stack([w, h, w, h]).repeat(2)
+    k1, k2 = jax.random.split(key)
+    edge_pts = jax.random.uniform(k1, (n_boundary,)) * edge_lengths.sum()
+    cum = jnp.cumsum(edge_lengths)
+    idx = jnp.searchsorted(cum, edge_pts)
+    prev_cum = jnp.concatenate([jnp.zeros(1), cum[:-1]])
+    t = (edge_pts - prev_cum[idx]) / edge_lengths[idx]
+    start = edges[idx % 4]
+    end = edges[(idx + 1) % 4]
+    boundary = start + t[:, None] * (end - start)
+    inside = jax.random.uniform(k2, (n_inside, 2))
+    inside = inside * jnp.stack([w, h]) + jnp.stack([left, bottom])
+    return jnp.concatenate([boundary, inside], axis=0)
