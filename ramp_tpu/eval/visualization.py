@@ -1,0 +1,109 @@
+"""Host-side plotting — parity with `scripts/inference/core/visualization.py`
+(BaseVisualizer :9-87 static PNG; DynamicVisualizer :89-236 pursuit GIF).
+
+Plotting stays on the host (matplotlib), fed by numpy arrays pulled once per
+episode; nothing here touches the jitted compute path.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+from matplotlib.patches import Circle, Rectangle
+
+
+def _draw_scene(ax, box_centers, box_sizes, obstacle_points=None):
+    sizes = np.asarray(box_sizes)
+    if sizes.ndim == 1:
+        sizes = np.repeat(sizes[:, None], 2, axis=-1)
+    for c, s in zip(np.asarray(box_centers), sizes):
+        ax.add_patch(Rectangle((c[0] - s[0] / 2, c[1] - s[1] / 2), s[0], s[1],
+                               facecolor="#b0b0b0", edgecolor="k", alpha=0.8))
+    if obstacle_points is not None:
+        pts = np.asarray(obstacle_points).reshape(-1, 2)
+        ax.scatter(pts[:, 0], pts[:, 1], s=1, c="tab:red", alpha=0.4)
+    ax.set_xlim(-1, 1)
+    ax.set_ylim(-1, 1)
+    ax.set_aspect("equal")
+
+
+def save_static_plot(path: str, trajs: np.ndarray, box_centers, box_sizes,
+                     obstacle_points=None, start=None, goal=None,
+                     collision_free: Optional[np.ndarray] = None) -> None:
+    """Static PNG: boxes, point clouds, trajectories (ref :9-87)."""
+    fig, ax = plt.subplots(figsize=(6, 6))
+    _draw_scene(ax, box_centers, box_sizes, obstacle_points)
+    trajs = np.asarray(trajs)
+    for i, tr in enumerate(trajs):
+        free = collision_free[i] if collision_free is not None else True
+        ax.plot(tr[:, 0], tr[:, 1], lw=1,
+                color="tab:blue" if free else "tab:orange",
+                alpha=0.7 if free else 0.35)
+    if start is not None:
+        ax.plot(start[0], start[1], "go", ms=10, label="start")
+    if goal is not None:
+        ax.plot(goal[0], goal[1], "r*", ms=14, label="goal")
+    ax.legend(loc="upper right")
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+
+
+def save_dynamic_gif(path: str, chains: Dict[str, np.ndarray], box_centers,
+                     box_sizes, goal, pursuer_radius: float = 0.1,
+                     fps: int = 8) -> None:
+    """Pursuit-evasion episode GIF: executed path + pursuer circle per control
+    step (ref :89-236). `chains` from `dynamic_harness.episode_chains`."""
+    from matplotlib.animation import FuncAnimation, PillowWriter
+
+    chain_start = np.asarray(chains["chain_start"])
+    chain_obs = np.asarray(chains["chain_obs"])
+    plans = chains.get("plans")
+    n = len(chain_start)
+    fig, ax = plt.subplots(figsize=(6, 6))
+
+    def frame(k):
+        ax.clear()
+        _draw_scene(ax, box_centers, box_sizes)
+        ax.plot(goal[0], goal[1], "r*", ms=14)
+        ax.plot(chain_start[:k + 1, 0], chain_start[:k + 1, 1], "b.-", lw=1.5)
+        if plans is not None and k < len(plans):
+            ax.plot(plans[k][:, 0], plans[k][:, 1], "c--", lw=0.8, alpha=0.6)
+        ax.add_patch(Circle(chain_obs[k], pursuer_radius, color="tab:red",
+                            alpha=0.6))
+        ax.set_title(f"step {k + 1}/{n}")
+
+    anim = FuncAnimation(fig, frame, frames=n, interval=1000 // fps)
+    anim.save(path, writer=PillowWriter(fps=fps))
+    plt.close(fig)
+
+
+def save_3d_plot(path: str, trajs: np.ndarray, box_centers, box_sizes,
+                 sphere_centers=None, sphere_radii=None,
+                 start=None, goal=None) -> None:
+    """3-D scene render (ref inference3d.py:158-381, minus the rotation GIF)."""
+    fig = plt.figure(figsize=(7, 7))
+    ax = fig.add_subplot(projection="3d")
+    for c, s in zip(np.asarray(box_centers), np.asarray(box_sizes)):
+        # wireframe box
+        r = [[-1, 1]] * 3
+        import itertools
+        corners = np.array(list(itertools.product(*r))) * np.asarray(s) / 2 + c
+        for i, j in itertools.combinations(range(8), 2):
+            if np.sum(np.abs(corners[i] - corners[j]) > 1e-9) == 1:
+                ax.plot(*zip(corners[i], corners[j]), color="gray", lw=0.5)
+    if sphere_centers is not None:
+        ax.scatter(*np.asarray(sphere_centers).T, s=np.asarray(sphere_radii) * 2000,
+                   c="tab:red", alpha=0.3)
+    for tr in np.asarray(trajs):
+        ax.plot(tr[:, 0], tr[:, 1], tr[:, 2], lw=1.5)
+    if start is not None:
+        ax.scatter(*start[:3], c="g", s=60)
+    if goal is not None:
+        ax.scatter(*goal[:3], c="r", s=80, marker="*")
+    ax.set_xlim(-1, 1); ax.set_ylim(-1, 1); ax.set_zlim(-1, 1)
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)

@@ -131,3 +131,62 @@ def generate_box_points(key: jax.Array, center: jax.Array, size: jax.Array,
     inside = jax.random.uniform(k2, (n_inside, 2))
     inside = inside * jnp.stack([w, h]) + jnp.stack([left, bottom])
     return jnp.concatenate([boundary, inside], axis=0)
+
+
+# ------------------------------ 3-D (host) ---------------------------------
+
+def generate_sphere_points_3d_np(center, radius, num_points,
+                                 rng: np.random.Generator | None = None,
+                                 surface_ratio: float = 0.9):
+    """Fibonacci-sphere surface points + uniform interior samples (3-D analog
+    of the reference's 2-D golden-angle generator)."""
+    rng = rng or np.random.default_rng()
+    n_surf = int(num_points * surface_ratio)
+    n_in = num_points - n_surf
+    i = np.arange(n_surf, dtype=np.float64)
+    phi = np.pi * (3.0 - np.sqrt(5.0))
+    z = 1.0 - 2.0 * (i + 0.5) / n_surf
+    r_xy = np.sqrt(np.maximum(1.0 - z * z, 0.0))
+    surf = np.column_stack([np.cos(phi * i) * r_xy, np.sin(phi * i) * r_xy, z]) * radius
+    if n_in > 0:
+        d = rng.normal(size=(n_in, 3))
+        d /= np.linalg.norm(d, axis=-1, keepdims=True) + 1e-12
+        rr = radius * rng.uniform(0, 1, n_in) ** (1 / 3)
+        surf = np.concatenate([surf, d * rr[:, None]])
+    return (surf + np.asarray(center)).astype(np.float64)
+
+
+def generate_box_points_3d_np(center, size, num_points,
+                              rng: np.random.Generator | None = None,
+                              surface_ratio: float = 0.8):
+    """Axis-aligned 3-D box: face-area-weighted surface samples + interior."""
+    rng = rng or np.random.default_rng()
+    c = np.asarray(center, np.float64)
+    s = np.asarray(size, np.float64)
+    n_surf = int(num_points * surface_ratio)
+    n_in = num_points - n_surf
+    # 6 faces, areas: yz, yz, xz, xz, xy, xy
+    areas = np.array([s[1] * s[2], s[1] * s[2], s[0] * s[2],
+                      s[0] * s[2], s[0] * s[1], s[0] * s[1]])
+    face = rng.choice(6, size=n_surf, p=areas / areas.sum())
+    pts = rng.uniform(-0.5, 0.5, size=(n_surf, 3)) * s
+    axis = face // 2
+    sign = np.where(face % 2 == 0, 0.5, -0.5)
+    pts[np.arange(n_surf), axis] = sign * s[axis]
+    out = pts + c
+    if n_in > 0:
+        out = np.concatenate([out, rng.uniform(-0.5, 0.5, size=(n_in, 3)) * s + c])
+    return out
+
+
+def scene_obstacle_points_3d_np(box_centers, box_sizes, sphere_centers,
+                                sphere_radii, points_per_obstacle=128,
+                                rng: np.random.Generator | None = None):
+    """[O, P, 3] obstacle point tensor: boxes then spheres (3-D dataset
+    layout, ref EnvParameterized3D points_per_obstacle=128)."""
+    rng = rng or np.random.default_rng()
+    clouds = [generate_box_points_3d_np(c, s, points_per_obstacle, rng=rng)
+              for c, s in zip(np.asarray(box_centers), np.asarray(box_sizes))]
+    clouds += [generate_sphere_points_3d_np(c, r, points_per_obstacle, rng=rng)
+               for c, r in zip(np.asarray(sphere_centers), np.asarray(sphere_radii))]
+    return np.stack(clouds).astype(np.float32)

@@ -1,0 +1,77 @@
+"""Train state: optimizer + EMA as one jit-shardable pytree.
+
+Parity with the reference DDP trainer hyper-surface
+(`mpd/trainerddp/trainer.py:202-261`, `scripts/train/trainddp.py:211-235`):
+Adam lr=1e-4, global-norm grad clip max_norm=1.0, EMA beta=0.995 updated every
+10 steps after a 1000-step copy-through warmup, AMP -> native bf16 compute in
+the network (master params stay f32; no GradScaler needed, bf16 has fp32's
+exponent range).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 1e-4
+    clip_grad_max_norm: float = 1.0          # ref trainer.py:204
+    use_ema: bool = True
+    ema_decay: float = 0.995                 # ref trainer.py:205
+    step_start_ema: int = 1000               # ref trainer.py:205
+    update_ema_every: int = 10               # ref trainer.py:205
+    concept_drop_prob: float = 0.2           # ref UnetTrain.py:41
+    loss_type: str = "l2"
+    batch_size: int = 16                     # per device, ref trainddp.py:225
+    num_train_steps: int = 2_800_000         # ref trainddp.py:227
+    steps_til_summary: int = 100
+    steps_til_checkpoint: int = 100_000
+    steps_til_latest: int = 1000             # ref trainer.py:271-273
+    seed: int = 101
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    step: jax.Array          # scalar int32
+    params: Any              # {"unet": ..., "encoder": ...}
+    ema_params: Any          # same structure (== params when EMA disabled)
+    opt_state: Any
+
+
+def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(config.clip_grad_max_norm),
+        optax.adam(config.lr),
+    )
+
+
+def create_train_state(params: Dict, config: TrainConfig) -> TrainState:
+    tx = make_optimizer(config)
+    return TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=params,
+        ema_params=jax.tree_util.tree_map(jnp.copy, params),
+        opt_state=tx.init(params),
+    )
+
+
+def ema_update(state: TrainState, new_params, config: TrainConfig):
+    """EMA schedule parity (ref trainer.py:257-261): every `update_ema_every`
+    steps; before `step_start_ema` the EMA weights are a straight copy.
+    Expressed with `where`s so it stays inside the jitted train step."""
+    step = state.step
+    do_update = (step % config.update_ema_every) == 0
+    warmup = step < config.step_start_ema
+
+    def blend(ema, p):
+        averaged = ema * config.ema_decay + p * (1.0 - config.ema_decay)
+        candidate = jnp.where(warmup, p, averaged)
+        return jnp.where(do_update, candidate, ema)
+
+    return jax.tree_util.tree_map(blend, state.ema_params, new_params)

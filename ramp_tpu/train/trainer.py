@@ -1,0 +1,165 @@
+"""SPMD training engine: one jitted train step, sharded over a device mesh.
+
+Replaces the reference's two trainers (`mpd/trainer/trainer.py:116`,
+`mpd/trainerddp/trainer.py:202`): there is no per-GPU process spawn, no DDP
+wrapper, no GradScaler and no explicit all-reduce — the batch is sharded over
+the mesh's `data` axis, the loss is a global mean, and XLA inserts the
+gradient psum over ICI. Multi-host runs reuse the same step verbatim.
+
+Checkpointing upgrades the reference's save-only state-dict dumps
+(`trainerddp/trainer.py:34-53`, never loaded for resume) to orbax with true
+resume: {step, params, ema_params, opt_state} round-trips exactly.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from functools import partial
+from typing import Callable, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ramp_tpu.core.schedules import DiffusionSchedule
+from ramp_tpu.parallel.mesh import batch_sharding, make_mesh, replicate, shard_batch
+from ramp_tpu.train.losses import diffusion_loss
+from ramp_tpu.train.state import TrainConfig, TrainState, create_train_state, ema_update, make_optimizer
+
+logger = logging.getLogger("ramp_tpu.train")
+
+
+def make_train_step(unet_apply: Callable, encoder_apply: Callable,
+                    schedule: DiffusionSchedule, config: TrainConfig,
+                    mesh=None) -> Callable:
+    """Build the jitted (state, key, batch) -> (state, metrics) step.
+
+    With a mesh, donated state is replicated and the batch is sharded on its
+    leading axis; without one (unit tests, single chip) it is a plain jit.
+    """
+    tx = make_optimizer(config)
+
+    def loss_fn(params, key, traj, obstacle_points):
+        return diffusion_loss(
+            unet_apply, encoder_apply, schedule, params, key, traj,
+            obstacle_points,
+            concept_drop_prob=config.concept_drop_prob,
+            loss_type=config.loss_type)
+
+    def step_fn(state: TrainState, key, batch: Dict):
+        (loss, info), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, key, batch["traj"], batch["obstacle_points"])
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+        ema_params = ema_update(state, params, config) if config.use_ema else params
+        new_state = TrainState(step=state.step + 1, params=params,
+                               ema_params=ema_params, opt_state=opt_state)
+        gnorm = optax.global_norm(grads)
+        metrics = {"loss": loss, "grad_norm": gnorm, **info}
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+    rep = replicate(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(rep, rep, {"traj": data, "obstacle_points": data}),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+
+class Trainer:
+    """Training loop: batching, logging, orbax checkpoint/resume.
+
+    `data_iter` yields {"traj": [B, H, D] float32 (normalized),
+    "obstacle_points": [B, O, P, dim] float32} host batches; B must divide by
+    the mesh's data-axis size.
+    """
+
+    def __init__(self, unet_apply: Callable, encoder_apply: Callable,
+                 schedule: DiffusionSchedule, config: TrainConfig,
+                 checkpoint_dir: Optional[str] = None, mesh=None,
+                 use_mesh: bool = True):
+        self.config = config
+        self.mesh = mesh if mesh is not None else (make_mesh() if use_mesh else None)
+        self.schedule = schedule
+        self.train_step = make_train_step(unet_apply, encoder_apply, schedule,
+                                          config, self.mesh)
+        self.checkpoint_dir = os.path.abspath(checkpoint_dir) if checkpoint_dir else None
+        self._ckpt_mgr = None
+        if self.checkpoint_dir:
+            import orbax.checkpoint as ocp
+            os.makedirs(self.checkpoint_dir, exist_ok=True)
+            self._ckpt_mgr = ocp.CheckpointManager(
+                self.checkpoint_dir,
+                options=ocp.CheckpointManagerOptions(max_to_keep=3,
+                                                     create=True))
+
+    # -------------------------------------------------------------- ckpt
+    def save(self, state: TrainState):
+        if self._ckpt_mgr is None:
+            return
+        import orbax.checkpoint as ocp
+        self._ckpt_mgr.save(int(state.step),
+                            args=ocp.args.StandardSave(state))
+        self._ckpt_mgr.wait_until_finished()
+
+    def restore(self, template: TrainState) -> Optional[TrainState]:
+        """True resume — the capability the reference saves for but never
+        implements (`trainddp.py:70-91` loader exists unused)."""
+        if self._ckpt_mgr is None or self._ckpt_mgr.latest_step() is None:
+            return None
+        import orbax.checkpoint as ocp
+        return self._ckpt_mgr.restore(self._ckpt_mgr.latest_step(),
+                                      args=ocp.args.StandardRestore(template))
+
+    # -------------------------------------------------------------- train
+    def fit(self, init_params: Dict, data_iter: Iterator[Dict],
+            num_steps: Optional[int] = None, log_file: Optional[str] = None,
+            resume: bool = True) -> TrainState:
+        config = self.config
+        num_steps = num_steps if num_steps is not None else config.num_train_steps
+        state = create_train_state(init_params, config)
+        if resume:
+            restored = self.restore(state)
+            if restored is not None:
+                state = restored
+                logger.info("resumed from step %d", int(state.step))
+        if self.mesh is not None:
+            state = jax.device_put(state, replicate(self.mesh))
+
+        key = jax.random.PRNGKey(config.seed)
+        log_fh = open(log_file, "a") if log_file else None
+        t_last = time.perf_counter()
+        start_step = int(state.step)
+        for _ in range(start_step, num_steps):
+            batch = next(data_iter)
+            if self.mesh is not None:
+                batch = shard_batch(batch, self.mesh)
+            key, k_step = jax.random.split(key)
+            state, metrics = self.train_step(state, k_step, batch)
+            step = int(state.step)
+            if step % config.steps_til_summary == 0:
+                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                now = time.perf_counter()
+                rec = {"step": step, "time_per_step": (now - t_last) / config.steps_til_summary,
+                       **m}
+                t_last = now
+                logger.info("step %d loss %.5f", step, m["loss"])
+                if log_fh:
+                    log_fh.write(json.dumps(rec) + "\n")
+                    log_fh.flush()
+            if self._ckpt_mgr is not None and (
+                    step % config.steps_til_checkpoint == 0
+                    or step % config.steps_til_latest == 0):
+                self.save(state)
+        if self._ckpt_mgr is not None:
+            self.save(state)
+        if log_fh:
+            log_fh.close()
+        return state

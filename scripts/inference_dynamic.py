@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Dynamic pursuit-evasion evaluation — parity with
+`scripts/inference/inference_dynamic.py`.
+
+  python scripts/inference_dynamic.py --dataset dataset/EnvPredator \
+      --checkpoints checkpoints/predator --n-contexts 10 --n-experiments 3
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import json
+
+import jax
+import numpy as np
+
+from ramp_tpu.data.dataset import TrajectoryDataset
+from ramp_tpu.eval.dynamic_harness import DynamicEvalHarness
+from ramp_tpu.planners.dynamic import DynamicPlanner, DynamicPlannerConfig
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--checkpoints", default=None)
+    p.add_argument("--n-contexts", type=int, default=10)
+    p.add_argument("--n-experiments", type=int, default=3)
+    p.add_argument("--n-samples", type=int, default=35)
+    p.add_argument("--results", default="eval_results_dynamic.json")
+    p.add_argument("--context-dir", default=None)
+    p.add_argument("--gif-dir", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--unet-dim", type=int, default=32)
+    p.add_argument("--dim-mults-option", type=int, default=1, choices=[0, 1])
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="override the JAX backend (e.g. cpu for debugging)")
+    args = p.parse_args()
+
+    from ramp_tpu.utils.platform import set_platform
+    set_platform(args.platform)
+
+    dataset = TrajectoryDataset(args.dataset, include_velocity=True)
+    cfg = DynamicPlannerConfig(horizon=dataset.horizon,
+                               state_dim=dataset.state_dim,
+                               unet_input_dim=args.unet_dim,
+                               unet_dim_mults_option=args.dim_mults_option)
+    planner = DynamicPlanner(cfg)
+    n_obs, n_pts = dataset.obstacle_points.shape[1:3]
+
+    from ramp_tpu.utils.checkpoints import load_planner_params
+    params = load_planner_params(planner, args.checkpoints, n_obs, n_pts,
+                                 seed=args.seed)
+
+    idx = 0
+    harness = DynamicEvalHarness(planner, params)
+    results = harness.run_multiple_experiments(
+        dataset.obstacle_points[idx], dataset.box_centers[idx],
+        dataset.box_sizes[idx],
+        n_contexts=args.n_contexts, n_experiments=args.n_experiments,
+        n_samples=args.n_samples, seed=args.seed,
+        results_path=args.results, context_dir=args.context_dir)
+    print(json.dumps(results["aggregate"], indent=2))
+    print(f"results written to {args.results}")
+
+    if args.gif_dir:
+        os.makedirs(args.gif_dir, exist_ok=True)
+        from ramp_tpu.eval.visualization import save_dynamic_gif
+        rng = np.random.default_rng(args.seed)
+        ctx = harness._draw_context(rng, dataset.box_centers[idx],
+                                    dataset.box_sizes[idx])
+        out = harness.run_episode(jax.random.PRNGKey(args.seed),
+                                  dataset.obstacle_points[idx],
+                                  dataset.box_centers[idx],
+                                  dataset.box_sizes[idx], ctx,
+                                  n_samples=args.n_samples)
+        save_dynamic_gif(os.path.join(args.gif_dir, "episode.gif"),
+                         out["chains"], dataset.box_centers[idx],
+                         dataset.box_sizes[idx], ctx["goal"][:2],
+                         pursuer_radius=cfg.pursuer_radius)
+        print(f"gif written to {args.gif_dir}/episode.gif")
+
+
+if __name__ == "__main__":
+    main()

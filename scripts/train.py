@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Train the energy-based diffusion planner (SPMD data-parallel).
+
+Replaces `scripts/train/trainddp.py`: no process spawn, no NCCL — one program
+sharded over every visible device via the mesh. Multi-host: launch the same
+script per host with --coordinator/--num-processes/--process-id.
+
+  python scripts/train.py --dataset dataset/EnvSimple2dquant \
+      --checkpoints checkpoints/simple2d --steps 100000
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import logging
+
+import jax
+
+from ramp_tpu.core.schedules import make_schedule
+from ramp_tpu.data.dataset import TrajectoryDataset, batch_iterator
+from ramp_tpu.parallel.mesh import initialize_distributed, make_mesh
+from ramp_tpu.planners.static import StaticPlanner, StaticPlannerConfig
+from ramp_tpu.planners.planner3d import Planner3D, Planner3DConfig
+from ramp_tpu.train.state import TrainConfig
+from ramp_tpu.train.trainer import Trainer
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--checkpoints", default=None)
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="global batch (default: 16 per device, ref trainddp.py:225)")
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--seed", type=int, default=101)
+    p.add_argument("--threed", action="store_true", help="train the 3-D model")
+    p.add_argument("--horizon", type=int, default=None)
+    p.add_argument("--n-diffusion-steps", type=int, default=None)
+    p.add_argument("--unet-dim", type=int, default=32,
+                   help="unet_input_dim (ref trainddp.py:222)")
+    p.add_argument("--dim-mults-option", type=int, default=1, choices=[0, 1],
+                   help="UNET_DIM_MULTS key (ref UnetInference.py:13)")
+    p.add_argument("--log-file", default=None)
+    p.add_argument("--no-resume", action="store_true")
+    # multi-host
+    p.add_argument("--coordinator", default=None)
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="override the JAX backend (e.g. cpu for debugging)")
+    args = p.parse_args()
+
+    from ramp_tpu.utils.platform import set_platform
+    set_platform(args.platform)
+
+    logging.basicConfig(level=logging.INFO)
+    initialize_distributed(args.coordinator, args.num_processes, args.process_id)
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+
+    dataset = TrajectoryDataset(args.dataset, include_velocity=True)
+    horizon = args.horizon or dataset.horizon
+
+    if args.threed:
+        cfg3 = Planner3DConfig(horizon=horizon, state_dim=dataset.state_dim,
+                               n_diffusion_steps=args.n_diffusion_steps or 25,
+                               unet_input_dim=args.unet_dim,
+                               unet_dim_mults_option=args.dim_mults_option)
+        planner = Planner3D(cfg3)
+    else:
+        cfg = StaticPlannerConfig(horizon=horizon, state_dim=dataset.state_dim,
+                                  n_diffusion_steps=args.n_diffusion_steps or 100,
+                                  unet_input_dim=args.unet_dim,
+                                  unet_dim_mults_option=args.dim_mults_option)
+        planner = StaticPlanner(cfg)
+    n_obs, n_pts = dataset.obstacle_points.shape[1:3]
+    schedule = planner.schedule
+
+    params = planner.init_params(jax.random.PRNGKey(args.seed), n_obs, n_pts)
+
+    batch_size = args.batch_size or 16 * n_dev
+    tcfg = TrainConfig(lr=args.lr, batch_size=batch_size, seed=args.seed)
+    trainer = Trainer(planner.unet.apply, planner.encoder.apply, schedule,
+                      tcfg, checkpoint_dir=args.checkpoints, mesh=mesh)
+    data = batch_iterator(dataset, batch_size, seed=args.seed)
+    state = trainer.fit(params, data, num_steps=args.steps,
+                        log_file=args.log_file, resume=not args.no_resume)
+    print(f"finished at step {int(state.step)}")
+
+
+if __name__ == "__main__":
+    main()

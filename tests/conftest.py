@@ -5,11 +5,16 @@ validated on XLA's host-platform virtual devices.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-set (not setdefault): the environment may preset JAX_PLATFORMS to a
+# tunneled TPU backend, which would make every unit test a network round-trip.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+# The env var alone is not enough here: the preinstalled axon site hook wins
+# the platform choice unless overridden through the config API after import.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,82 @@
+"""Dataset generator + loader tests (synthetic MPD-layout round-trip)."""
+import numpy as np
+import pytest
+
+from ramp_tpu.data.dataset import TrajectoryDataset, batch_iterator
+from ramp_tpu.data.generator import (
+    generate_dataset, plan_trajectory, sample_free_point,
+)
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("ds")
+    return generate_dataset(str(out), n_tasks=3, n_trajs_per_task=4,
+                            horizon=32, points_per_obstacle=16, seed=7)
+
+
+def test_generated_trajectories_are_collision_free():
+    rng = np.random.default_rng(0)
+    centers = np.array([[0.0, 0.0]], np.float32)
+    sizes = np.array([[0.4, 0.4]], np.float32)
+    start = np.array([-0.8, -0.8], np.float32)
+    goal = np.array([0.8, 0.8], np.float32)
+    traj = plan_trajectory(centers, sizes, start, goal, horizon=48, rng=rng)
+    assert traj is not None and traj.shape == (48, 4)
+    # no waypoint inside the (uninflated) box
+    inside = np.all(np.abs(traj[:, :2] - centers[0]) <= sizes[0] / 2, axis=-1)
+    assert not inside.any()
+    np.testing.assert_allclose(traj[0, :2], start, atol=1e-6)
+    np.testing.assert_allclose(traj[-1, :2], goal, atol=1e-6)
+    np.testing.assert_allclose(traj[0, 2:], 0.0, atol=1e-6)
+
+
+def test_sample_free_point_avoids_boxes():
+    rng = np.random.default_rng(1)
+    centers = np.array([[0.0, 0.0]], np.float32)
+    sizes = np.array([[0.8, 0.8]], np.float32)
+    for _ in range(20):
+        p = sample_free_point(centers, sizes, rng)
+        assert not np.all(np.abs(p) <= 0.4 + 0.08)
+
+
+def test_dataset_loads_and_normalizes(dataset_dir):
+    ds = TrajectoryDataset(dataset_dir, include_velocity=True)
+    assert ds.n_trajs == 12
+    assert ds.horizon == 32 and ds.state_dim == 4
+    assert ds.trajs_normalized.min() >= -1.0 - 1e-5
+    assert ds.trajs_normalized.max() <= 1.0 + 1e-5
+    item = ds[0]
+    assert item["traj"].shape == (32, 4)
+    assert item["obstacle_points"].shape[-1] == 2
+    # round-trip through the normalizer
+    rt = np.asarray(ds.normalizer.unnormalize(ds.trajs_normalized[0]))
+    np.testing.assert_allclose(rt, ds.trajs[0], atol=1e-4)
+
+
+def test_dataset_single_task_selection(dataset_dir):
+    full = TrajectoryDataset(dataset_dir)
+    one = TrajectoryDataset(dataset_dir, task_ids=[1])
+    assert one.n_trajs == 4
+    sel = full.map_task_id_to_trajectories_id[1]
+    np.testing.assert_allclose(one.trajs, full.trajs[sel])
+
+
+def test_hard_conds_zero_velocity(dataset_dir):
+    ds = TrajectoryDataset(dataset_dir)
+    hc = ds.hard_conds(0)
+    np.testing.assert_allclose(hc["start"][2:], 0.0)
+    np.testing.assert_allclose(hc["goal"][2:], 0.0)
+    np.testing.assert_allclose(hc["start"][:2], ds.trajs_normalized[0, 0, :2])
+
+
+def test_batch_iterator_shapes_and_reshuffle(dataset_dir):
+    ds = TrajectoryDataset(dataset_dir)
+    it = batch_iterator(ds, batch_size=4, seed=3, process_sharded=False)
+    b1 = next(it)
+    assert b1["traj"].shape == (4, 32, 4)
+    assert b1["obstacle_points"].shape[0] == 4
+    # drain the epoch; next epoch should reshuffle
+    epoch1 = [next(it) for _ in range(2)]
+    b_next_epoch = next(it)
+    assert b_next_epoch["traj"].shape == (4, 32, 4)

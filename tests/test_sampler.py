@@ -117,6 +117,14 @@ def test_ddpm_chain_extra_noiseless_steps(tiny_model):
 def test_ddim_jit_once_for_different_scenes(tiny_model):
     """One compiled plan must serve different obstacle latents (traced args)."""
     _, params, eps_fn = tiny_model
+    # at init the SpatialTransformer output conv is zero (SD-style zero-init),
+    # so the scene latent has no effect; perturb params so it does
+    k_perturb = jax.random.PRNGKey(42)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(k_perturb, len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        treedef, [l + 0.02 * jax.random.normal(k, l.shape, l.dtype)
+                  for l, k in zip(leaves, keys)])
     sch = make_schedule("exponential", 100)
     ep = _endpoints()
 

