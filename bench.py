@@ -1,10 +1,21 @@
 """Benchmark: p50 replan latency for a 64-trajectory batch (the driver's
 north-star metric — BASELINE.md targets <50 ms on one v5e chip).
 
-A "replan" is one STAGE-II-shaped refinement: 5 guided DDIM steps over the
-full trajectory batch with CFG (2x fold) and device-side APF — the inner loop
-of both the static harness (`inference_static.py:146-157`) and the dynamic
+A "replan" is one full guided DDIM plan: 5 guided denoise steps over the
+trajectory batch with CFG (2x fold) and device-side APF — the inner loop of
+both the static harness (`inference_static.py:146-157`) and the dynamic
 closed-loop replanner (`diffusion_model_dynamic.py:552-587`).
+
+Methodology — measured, not assumed, on this platform:
+  * `block_until_ready` can return before execution completes (a 2048^3
+    matmul "finished" in 0.04 ms), so naive per-call timing UNDERESTIMATES;
+  * any true host synchronization costs a fixed ~25 ms runtime tick, so
+    fetch-per-call timing OVERESTIMATES.
+The honest number is the marginal latency of a dependency-chained
+`lax.scan` of K replans (each key folds in the previous plan, so steps
+cannot overlap), timed around ONE host fetch:
+    per_replan = (t_chain(K) - t_chain(1)) / (K - 1)
+This isolates pure device time per replan from the fixed sync cost.
 
 Prints ONE JSON line:
   {"metric": "p50_replan_latency_64traj", "value": <ms>, "unit": "ms",
@@ -14,9 +25,11 @@ from __future__ import annotations
 
 import json
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def main() -> None:
@@ -33,35 +46,62 @@ def main() -> None:
     start = jnp.asarray([-0.9, -0.9, 0.0, 0.0], jnp.float32)
     goal = jnp.asarray([0.9, 0.9, 0.0, 0.0], jnp.float32)
 
-    plan = planner.plan_fn(n_samples, return_chain=False)
+    def one_plan(params, key, pts, start, goal):
+        x, _ = planner._plan(params, key, pts, start, goal,
+                             n_samples=n_samples, return_chain=False)
+        return x
 
-    # compile + warmup (the reference warms up too, diffusion_model_static.py:405)
-    key = jax.random.PRNGKey(1)
-    x, _ = plan(params, key, obstacle_pts, start, goal)
-    x.block_until_ready()
+    horizon, state_dim = config.horizon, config.state_dim
 
-    n_iters = 50
-    times_ms = []
-    for i in range(n_iters):
-        key, k = jax.random.split(key)
+    @partial(jax.jit, static_argnames=("length",))
+    def chained(params, key, pts, start, goal, length):
+        def body(carry, _):
+            key, xprev = carry
+            # data dependency: the next key folds in the previous plan, so
+            # the scan cannot pipeline across replans
+            key = jax.random.fold_in(
+                key, jnp.abs(xprev[0, 0, 0] * 1e6).astype(jnp.uint32))
+            x = one_plan(params, key, pts, start, goal)
+            return (key, x), None
+        init = (key, jnp.zeros((n_samples, horizon, state_dim)))
+        (key, x), _ = jax.lax.scan(body, init, None, length=length)
+        return x
+
+    def timed_host_fetch(length, key):
         t0 = time.perf_counter()
-        x, _ = plan(params, k, obstacle_pts, start, goal)
-        x.block_until_ready()
-        times_ms.append((time.perf_counter() - t0) * 1e3)
+        x = chained(params, key, obstacle_pts, start, goal, length)
+        _ = np.asarray(x[0:1, 0:1, 0:1])  # true host sync
+        return (time.perf_counter() - t0) * 1e3
 
-    times_ms.sort()
-    p50 = times_ms[len(times_ms) // 2]
-    # 5 guided DDIM steps/plan, n_samples trajectories, CFG fold 2x
+    K = 16
+    # compile + warmup both lengths
+    timed_host_fetch(1, jax.random.PRNGKey(1))
+    timed_host_fetch(K, jax.random.PRNGKey(1))
+
+    n_iters = 30
+    singles, chains = [], []
+    for i in range(n_iters):
+        singles.append(timed_host_fetch(1, jax.random.PRNGKey(100 + i)))
+        chains.append(timed_host_fetch(K, jax.random.PRNGKey(200 + i)))
+    singles.sort()
+    chains.sort()
+    p50_single = singles[n_iters // 2]
+    p50_chain = chains[n_iters // 2]
+    per_replan = (p50_chain - p50_single) / (K - 1)
+
     result = {
         "metric": "p50_replan_latency_64traj",
-        "value": round(p50, 3),
+        "value": round(per_replan, 3),
         "unit": "ms",
-        "vs_baseline": round(50.0 / p50, 3),
+        "vs_baseline": round(50.0 / per_replan, 3),
         "extra": {
-            "p10_ms": round(times_ms[len(times_ms) // 10], 3),
-            "p90_ms": round(times_ms[(len(times_ms) * 9) // 10], 3),
-            "trajs_per_sec": round(n_samples / (p50 / 1e3), 1),
-            "denoise_steps_per_sec": round(config.ddim_steps / (p50 / 1e3), 1),
+            "method": f"marginal latency of a dependency-chained scan of {K} "
+                      "replans (single host sync); see bench.py docstring",
+            "p50_single_call_with_host_sync_ms": round(p50_single, 3),
+            "p50_chain_ms": round(p50_chain, 3),
+            "trajs_per_sec": round(n_samples / (per_replan / 1e3), 1),
+            "guided_denoise_steps_per_sec": round(
+                config.ddim_steps / (per_replan / 1e3), 1),
             "device": str(jax.devices()[0]),
             "n_samples": n_samples,
             "ddim_steps": config.ddim_steps,

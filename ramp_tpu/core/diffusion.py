@@ -19,12 +19,14 @@ import jax.numpy as jnp
 from ramp_tpu.core.schedules import DiffusionSchedule
 
 
-def extract(table: jax.Array, t: jax.Array, ndim: int) -> jax.Array:
+def extract(table, t: jax.Array, ndim: int) -> jax.Array:
     """Gather per-sample table entries, broadcastable against an ndim tensor.
 
     ref `sample_functions.py:13-16`. `t` has shape [B]; result [B, 1, ...].
+    Tables are host (numpy) arrays — `jnp.asarray` at trace time bakes them
+    into the program as literals (see `schedules` module docstring).
     """
-    out = table[t]
+    out = jnp.asarray(table)[t]
     return out.reshape(out.shape[0], *([1] * (ndim - 1)))
 
 

@@ -9,6 +9,13 @@ variance-preserving) and the table construction in
 All tables live in a single immutable pytree (`DiffusionSchedule`) so the
 whole object can be closed over by jitted samplers; XLA constant-folds the
 gathers against the (tiny) tables.
+
+The leaves are HOST (numpy) arrays on purpose: a numpy constant closed over
+by a jitted function is baked into the HLO as a literal, whereas a committed
+device buffer captured as a constant forces a per-call buffer-rendezvous in
+the runtime that costs ~25 ms per dispatch on the target platform (measured;
+it also degrades every subsequent dispatch in the process). Samplers convert
+with `jnp.asarray` at trace time, which is free.
 """
 from __future__ import annotations
 
@@ -82,25 +89,26 @@ BETA_SCHEDULES = {
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class DiffusionSchedule:
-    """All precomputed diffusion tables (shape [T] each).
+    """All precomputed diffusion tables (shape [T] each, numpy leaves —
+    see module docstring for why they stay on host).
 
     Mirrors the registered buffers of the reference diffusion models
     (`diffusion_model_static.py:62-94`).
     """
-    betas: jax.Array
-    alphas_cumprod: jax.Array
-    alphas_cumprod_prev: jax.Array
-    sqrt_alphas_cumprod: jax.Array
-    sqrt_one_minus_alphas_cumprod: jax.Array
-    log_one_minus_alphas_cumprod: jax.Array
-    sqrt_recip_alphas_cumprod: jax.Array
-    sqrt_recipm1_alphas_cumprod: jax.Array
-    posterior_variance: jax.Array
-    posterior_log_variance_clipped: jax.Array
-    posterior_mean_coef1: jax.Array
-    posterior_mean_coef2: jax.Array
+    betas: np.ndarray
+    alphas_cumprod: np.ndarray
+    alphas_cumprod_prev: np.ndarray
+    sqrt_alphas_cumprod: np.ndarray
+    sqrt_one_minus_alphas_cumprod: np.ndarray
+    log_one_minus_alphas_cumprod: np.ndarray
+    sqrt_recip_alphas_cumprod: np.ndarray
+    sqrt_recipm1_alphas_cumprod: np.ndarray
+    posterior_variance: np.ndarray
+    posterior_log_variance_clipped: np.ndarray
+    posterior_mean_coef1: np.ndarray
+    posterior_mean_coef2: np.ndarray
     # DDIM: alpha_cumprod used when stepping past t=0 (set-alpha-to-one)
-    final_alpha_cumprod: jax.Array
+    final_alpha_cumprod: np.ndarray
     n_steps: int = dataclasses.field(metadata=dict(static=True))
 
 
@@ -117,7 +125,8 @@ def make_schedule(variance_schedule: str = "exponential",
     alphas_cumprod = np.cumprod(alphas)
     alphas_cumprod_prev = np.concatenate([[1.0], alphas_cumprod[:-1]])
     posterior_variance = betas * (1.0 - alphas_cumprod_prev) / (1.0 - alphas_cumprod)
-    arr = partial(jnp.asarray, dtype=dtype)
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    arr = partial(np.asarray, dtype=np_dtype)
     return DiffusionSchedule(
         betas=arr(betas),
         alphas_cumprod=arr(alphas_cumprod),

@@ -65,16 +65,24 @@ class CrossAttention(nn.Module):
         b, n, _ = q.shape
         m = k.shape[1]
 
-        def split(t, length):
-            return t.reshape(b, length, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        if m == 1:
+            # single-token context (the scene latent is one 320/256-d token,
+            # ref layers_attention_mini.py:106-107): softmax over one key is
+            # identically 1, so attention output == the value token broadcast
+            # over every query position. q/k are dead code (DCE'd by XLA;
+            # their params still exist and simply receive zero gradient).
+            out = jnp.broadcast_to(v, (b, n, inner))
+        else:
+            def split(t, length):
+                return t.reshape(b, length, self.heads, self.dim_head).transpose(0, 2, 1, 3)
 
-        q, k, v = split(q, n), split(k, m), split(v, m)
-        sim = jnp.einsum("bhid,bhjd->bhij", q, k,
-                         preferred_element_type=jnp.float32) * (self.dim_head ** -0.5)
-        attn = jax.nn.softmax(sim, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhij,bhjd->bhid", attn, v,
-                         preferred_element_type=jnp.float32).astype(self.dtype)
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+            q, k, v = split(q, n), split(k, m), split(v, m)
+            sim = jnp.einsum("bhid,bhjd->bhij", q, k,
+                             preferred_element_type=jnp.float32) * (self.dim_head ** -0.5)
+            attn = jax.nn.softmax(sim, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhij,bhjd->bhid", attn, v,
+                             preferred_element_type=jnp.float32).astype(self.dtype)
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
         return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
 
 
