@@ -1,0 +1,72 @@
+"""Planner integration tests on tiny models (CPU; compile-bounded sizes)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ramp_tpu.planners.dynamic import DynamicPlanner, DynamicPlannerConfig
+from ramp_tpu.planners.planner3d import Planner3D, Planner3DConfig
+from ramp_tpu.planners.static import StaticPlanner, StaticPlannerConfig
+
+
+def test_static_planner_compose_mode():
+    cfg = StaticPlannerConfig(horizon=16, n_diffusion_steps=10,
+                              unet_input_dim=8, unet_dim_mults_option=0,
+                              compose=True, use_apf=True, dtype="float32")
+    assert cfg.ddim_steps == 8  # compose+APF -> 8 (ref diffusion_model_static.py:40)
+    p = StaticPlanner(cfg)
+    params = p.init_params(jax.random.PRNGKey(0), n_obstacles=4, n_points=8)
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (2, 4, 8, 2),
+                             minval=-0.8, maxval=0.8)  # two obstacle sets
+    start = jnp.asarray([-0.8, -0.8, 0.0, 0.0])
+    goal = jnp.asarray([0.8, 0.8, 0.0, 0.0])
+    x, chain = p.plan(params, jax.random.PRNGKey(2), pts, start, goal,
+                      n_samples=3)
+    assert x.shape == (3, 16, 4)
+    assert chain.shape[0] == cfg.ddim_steps + 1
+    np.testing.assert_allclose(np.asarray(x[:, 0]), np.tile(start, (3, 1)),
+                               atol=1e-5)
+    assert np.isfinite(np.asarray(x)).all()
+
+
+def test_planner3d_shapes_and_pinning():
+    cfg = Planner3DConfig(horizon=16, n_diffusion_steps=8, unet_input_dim=8,
+                          unet_dim_mults_option=0, dtype="float32")
+    p = Planner3D(cfg)
+    params = p.init_params(jax.random.PRNGKey(0), n_obstacles=5, n_points=16)
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (5, 16, 3),
+                             minval=-0.8, maxval=0.8)
+    start = jnp.asarray([-0.8, -0.8, -0.8, 0.0, 0.0, 0.0])
+    goal = jnp.asarray([0.8, 0.8, 0.8, 0.0, 0.0, 0.0])
+    x, chain = p.plan(params, jax.random.PRNGKey(2), pts, start, goal,
+                      n_samples=2)
+    assert x.shape == (2, 16, 6)
+    np.testing.assert_allclose(np.asarray(x[:, -1]), np.tile(goal, (2, 1)),
+                               atol=1e-5)
+    assert np.isfinite(np.asarray(x)).all()
+
+
+@pytest.mark.slow
+def test_dynamic_planner_episode():
+    """Closed-loop episode end-to-end under jit (tiny everything)."""
+    cfg = DynamicPlannerConfig(horizon=12, n_diffusion_steps=10,
+                               unet_input_dim=8, unet_dim_mults_option=0,
+                               ddim_steps_high=5, ddim_steps_low=2,
+                               max_iterations=4, points_per_obstacle=8,
+                               dtype="float32")
+    p = DynamicPlanner(cfg)
+    params = p.init_params(jax.random.PRNGKey(0), n_obstacles=4, n_points=8)
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (4, 8, 2),
+                             minval=-0.8, maxval=0.8)
+    apf_pts = pts.reshape(-1, 2)
+    start = jnp.asarray([-0.8, -0.8, 0.0, 0.0])
+    goal = jnp.asarray([0.8, 0.8, 0.0, 0.0])
+    pursuer = jnp.asarray([0.0, 0.8])
+    result = p.run_episode(params, jax.random.PRNGKey(2), pts, apf_pts,
+                           start, goal, pursuer, n_samples=3)
+    assert result.plans.shape == (4, 12, 4)
+    assert result.pursuer_centers.shape == (4, 2)
+    assert int(result.n_steps) >= 1
+    assert np.isfinite(np.asarray(result.plans)).all()
+    # pursuer stays in bounds (clipped dynamics)
+    assert np.abs(np.asarray(result.pursuer_centers)).max() <= 1.0 + 1e-6
