@@ -34,6 +34,8 @@ import numpy as np
 
 def main() -> None:
     from ramp_tpu.planners.static import StaticPlanner, StaticPlannerConfig
+    from ramp_tpu.utils.platform import enable_compilation_cache
+    enable_compilation_cache()
 
     n_samples = 64
     n_obstacles, n_points = 6, 64

@@ -131,8 +131,21 @@ def _resample(path: np.ndarray, horizon: int) -> np.ndarray:
 
 def plan_trajectory(box_centers, box_sizes, start_xy, goal_xy, horizon: int,
                     rng: np.random.Generator, dt: float = 0.1,
-                    grid: int = 64, margin: float = 0.05) -> Optional[np.ndarray]:
-    """One collision-free [H, 4] trajectory (xy + finite-difference vel)."""
+                    grid: int = 64, margin: float = 0.05,
+                    use_native: bool = True) -> Optional[np.ndarray]:
+    """One collision-free [H, 4] trajectory (xy + finite-difference vel).
+
+    Uses the C++ core (`native/astar.cpp`, ~100x faster A*) when the shared
+    library builds/loads; this Python pipeline is the reference fallback.
+    """
+    if use_native:
+        from ramp_tpu.data import native
+        if native.available():
+            occ8 = native.occupancy_grid_native(box_centers, box_sizes, grid,
+                                                margin)
+            return native.plan_trajectory_native(
+                occ8, np.asarray(start_xy), np.asarray(goal_xy), horizon,
+                seed=int(rng.integers(0, 2**63 - 1)), dt=dt)
     occ = _occupancy_grid(box_centers, box_sizes, grid, margin)
     to_cell = lambda p: tuple(np.clip(((np.asarray(p) + 1) / 2 * (grid - 1)).round().astype(int), 0, grid - 1))
     cells = _astar(occ, to_cell(start_xy), to_cell(goal_xy))

@@ -121,7 +121,15 @@ class Trainer:
     # -------------------------------------------------------------- train
     def fit(self, init_params: Dict, data_iter: Iterator[Dict],
             num_steps: Optional[int] = None, log_file: Optional[str] = None,
-            resume: bool = True) -> TrainState:
+            resume: bool = True, summary_fn: Optional[Callable] = None) -> TrainState:
+        """`summary_fn(state, step) -> dict` runs every `steps_til_summary`
+        steps; its returns are merged into the JSONL log record. This is the
+        working version of the reference's mid-training sampling summaries
+        (`mpd/summaries/summary_trajectory_generation.py:11` — stale there:
+        it references dataset attrs that don't exist and is disabled with
+        `summary_fn=None` at `trainddp.py:173`). Use
+        `ramp_tpu.eval.summaries.make_sampling_summary` for the equivalent
+        sample-the-EMA-model behavior."""
         config = self.config
         num_steps = num_steps if num_steps is not None else config.num_train_steps
         state = create_train_state(init_params, config)
@@ -149,6 +157,8 @@ class Trainer:
                 now = time.perf_counter()
                 rec = {"step": step, "time_per_step": (now - t_last) / config.steps_til_summary,
                        **m}
+                if summary_fn is not None:
+                    rec.update(summary_fn(state, step))
                 t_last = now
                 logger.info("step %d loss %.5f", step, m["loss"])
                 if log_fh:

@@ -52,8 +52,9 @@ def main():
                    help="override the JAX backend (e.g. cpu for debugging)")
     args = p.parse_args()
 
-    from ramp_tpu.utils.platform import set_platform
+    from ramp_tpu.utils.platform import enable_compilation_cache, set_platform
     set_platform(args.platform)
+    enable_compilation_cache()
 
     logging.basicConfig(level=logging.INFO)
     initialize_distributed(args.coordinator, args.num_processes, args.process_id)
