@@ -1,0 +1,106 @@
+"""Scene-layer tests: SDF primitives, grid SDF, pursuit dynamics, robots,
+point-cloud generators."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ramp_tpu.scenes.dynamics import PursuitParams, pursuit_step
+from ramp_tpu.scenes.grid_sdf import grid_sdf_lookup, precompute_grid_sdf
+from ramp_tpu.scenes.pointclouds import (
+    generate_box_points_np, generate_sphere_points_np,
+    generate_sphere_points_3d_np, generate_box_points_3d_np,
+)
+from ramp_tpu.scenes.primitives import Scene, box_sdf, scene_sdf, sphere_sdf
+from ramp_tpu.scenes.robots import RobotPointMass, RobotPointMass3D
+
+
+def test_sphere_sdf_closed_form():
+    centers = jnp.asarray([[0.0, 0.0]])
+    radii = jnp.asarray([0.5])
+    x = jnp.asarray([[1.0, 0.0], [0.0, 0.0], [0.5, 0.0]])
+    np.testing.assert_allclose(np.asarray(sphere_sdf(x, centers, radii)),
+                               [0.5, -0.5, 0.0], atol=1e-6)
+
+
+def test_box_sdf_signs_and_min_combine():
+    centers = jnp.asarray([[0.0, 0.0], [2.0, 0.0]])
+    sizes = jnp.asarray([[1.0, 1.0], [1.0, 1.0]])
+    x = jnp.asarray([[0.0, 0.0],    # inside box 0
+                     [1.0, 0.0],    # outside box 0 by 0.5, outside box 1 by 0.5
+                     [2.0, 0.0]])   # inside box 1
+    d = box_sdf(x, centers, sizes)
+    assert float(d[0]) < 0 and float(d[2]) < 0
+    np.testing.assert_allclose(float(d[1]), 0.5, atol=1e-6)
+
+
+def test_grid_sdf_matches_analytic():
+    scene = Scene(box_centers=jnp.asarray([[0.0, 0.0]]),
+                  box_sizes=jnp.asarray([[0.6, 0.6]]))
+    g = precompute_grid_sdf(scene, resolution=128)
+    x = jnp.asarray([[0.8, 0.0], [0.0, 0.0], [0.31, 0.0]])
+    approx = grid_sdf_lookup(g, x)
+    exact = scene_sdf(scene, x)
+    np.testing.assert_allclose(np.asarray(approx), np.asarray(exact), atol=0.02)
+
+
+def test_grid_sdf_lookup_is_differentiable():
+    scene = Scene(box_centers=jnp.asarray([[0.0, 0.0]]),
+                  box_sizes=jnp.asarray([[0.6, 0.6]]))
+    g = precompute_grid_sdf(scene, resolution=64)
+    grad = jax.grad(lambda x: grid_sdf_lookup(g, x[None])[0])(jnp.asarray([0.8, 0.0]))
+    # outside the box to the +x side, sdf increases with x
+    assert float(grad[0]) > 0.5
+
+
+def test_pursuit_step_moves_toward_evader_and_clips():
+    pursuer = jnp.asarray([0.0, 0.0])
+    evader = jnp.asarray([1.0, 0.0])
+    new = pursuit_step(jnp.asarray(0), pursuer, evader, PursuitParams())
+    assert float(new[0]) > 0.0  # moved toward evader in x
+    # clipping: pursuer at the boundary stays in [-1, 1]
+    at_edge = jnp.asarray([1.0, 1.0])
+    out = pursuit_step(jnp.asarray(3), at_edge, jnp.asarray([2.0, 2.0]))
+    assert np.abs(np.asarray(out)).max() <= 1.0
+
+
+def test_robot_state_slicing_and_sampling():
+    r = RobotPointMass()
+    state = jnp.arange(8.0).reshape(2, 4)
+    np.testing.assert_allclose(np.asarray(r.get_position(state)),
+                               [[0, 1], [4, 5]])
+    np.testing.assert_allclose(np.asarray(r.get_velocity(state)),
+                               [[2, 3], [6, 7]])
+    q = r.sample_q(jax.random.PRNGKey(0), 100)
+    assert q.shape == (100, 2)
+    assert bool(r.within_limits(q).all())
+    r3 = RobotPointMass3D()
+    assert r3.state_dim == 6
+
+
+def test_box_points_on_boundary_or_inside():
+    rng = np.random.default_rng(0)
+    pts = generate_box_points_np([0.0, 0.0], [0.4, 0.6], 64, rng=rng)
+    assert pts.shape == (64, 2)
+    inside = (np.abs(pts[:, 0]) <= 0.2 + 1e-6) & (np.abs(pts[:, 1]) <= 0.3 + 1e-6)
+    assert inside.all()
+
+
+def test_sphere_points_radius():
+    rng = np.random.default_rng(0)
+    pts = generate_sphere_points_np([0.5, -0.5], 0.1, 64, rng=rng)
+    d = np.linalg.norm(pts - [0.5, -0.5], axis=-1)
+    assert (d <= 0.1 + 1e-6).all()
+    # 90% exactly on the boundary
+    assert (np.abs(d - 0.1) < 1e-6).mean() >= 0.85
+
+
+def test_3d_point_generators():
+    rng = np.random.default_rng(1)
+    sp = generate_sphere_points_3d_np([0, 0, 0], 0.2, 100, rng=rng)
+    d = np.linalg.norm(sp, axis=-1)
+    assert (d <= 0.2 + 1e-6).all()
+    bp = generate_box_points_3d_np([0, 0, 0], [0.4, 0.4, 0.4], 100, rng=rng)
+    assert (np.abs(bp) <= 0.2 + 1e-6).all()
+    # surface points sit on at least one face
+    on_face = (np.abs(np.abs(bp) - 0.2) < 1e-5).any(axis=-1)
+    assert on_face.mean() >= 0.7
