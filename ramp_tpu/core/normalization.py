@@ -6,8 +6,10 @@ GaussianNormalizer (:119), SafeLimitsNormalizer (:170),
 FixedLimitsNormalizer (:187), Identity (:111), and the multi-field
 DatasetNormalizer (:12) with its flatten rules (:58-78).
 
-Normalizer state is plain arrays so it can be captured by jit or shipped in
-checkpoints; fit() runs once at data-ingest time (host-side numpy is fine).
+Normalizer state is HOST (numpy) arrays so jitted functions may close over a
+normalizer safely: numpy constants bake into the HLO as literals, whereas
+captured device buffers trigger a pathological per-dispatch cost on some
+runtimes (see `ramp_tpu.core.schedules`). fit() runs once at ingest time.
 """
 from __future__ import annotations
 
@@ -49,12 +51,12 @@ class LimitsNormalizer:
             # ALL dims when any is constant; reproduced here)
             mins = mins - eps
             maxs = maxs + eps
-        return cls(jnp.asarray(mins, jnp.float32), jnp.asarray(maxs, jnp.float32))
+        return cls(np.asarray(mins, np.float32), np.asarray(maxs, np.float32))
 
     @classmethod
     def fixed(cls, dim: int, vmin: float = -1.0, vmax: float = 1.0) -> "LimitsNormalizer":
         # ref FixedLimitsNormalizer :187-195
-        return cls(jnp.full((dim,), vmin, jnp.float32), jnp.full((dim,), vmax, jnp.float32))
+        return cls(np.full((dim,), vmin, np.float32), np.full((dim,), vmax, np.float32))
 
     def normalize(self, x):
         x = (x - self.mins) / (self.maxs - self.mins)
@@ -76,8 +78,8 @@ class GaussianNormalizer:
     @classmethod
     def fit(cls, x) -> "GaussianNormalizer":
         x = flatten_field(np.asarray(x))
-        return cls(jnp.asarray(x.mean(axis=0), jnp.float32),
-                   jnp.asarray(x.std(axis=0, ddof=1), jnp.float32))
+        return cls(np.asarray(x.mean(axis=0), np.float32),
+                   np.asarray(x.std(axis=0, ddof=1), np.float32))
 
     def normalize(self, x):
         return (x - self.means) / self.stds

@@ -42,6 +42,18 @@ def sample_context(rng: np.random.Generator, box_centers, box_sizes,
             "goal": np.concatenate([goal, np.zeros(2, np.float32)])}
 
 
+def compose_split(obstacle_points: np.ndarray,
+                  rng: np.random.Generator) -> np.ndarray:
+    """Split a 10-obstacle cloud into two equal 6-obstacle sets for energy
+    composition: first 6 vs remaining 4 padded with 2 random duplicates
+    (ref inference_static.py:68-73)."""
+    first = obstacle_points[:6]
+    remaining = obstacle_points[6:]
+    dup = remaining[rng.permutation(len(remaining))[:6 - len(remaining)]]
+    second = np.concatenate([remaining, dup], axis=0)
+    return np.stack([first, second])
+
+
 class ContextManager:
     """Save/load eval contexts as npz (ref core/utils.py:28-79 uses .pt)."""
 
@@ -122,6 +134,8 @@ class StaticEvalHarness:
         for tid in task_ids:
             idx = int(dataset.map_task_id_to_trajectories_id[tid][0])
             obstacle_points = dataset.obstacle_points[idx]
+            if self.planner.config.compose:
+                obstacle_points = compose_split(obstacle_points, rng)
             box_centers = dataset.box_centers[idx]
             box_sizes = dataset.box_sizes[idx]
             env_rows: List[Dict] = []

@@ -115,8 +115,13 @@ class Trainer:
         if self._ckpt_mgr is None or self._ckpt_mgr.latest_step() is None:
             return None
         import orbax.checkpoint as ocp
-        return self._ckpt_mgr.restore(self._ckpt_mgr.latest_step(),
-                                      args=ocp.args.StandardRestore(template))
+        restored = self._ckpt_mgr.restore(self._ckpt_mgr.latest_step(),
+                                          args=ocp.args.StandardRestore(template))
+        # Round-trip through host: buffers created inside the restore
+        # machinery have been observed to leave the process in a degraded
+        # ~25 ms-per-dispatch state on some runtimes; fresh `device_put`s of
+        # plain numpy leaves avoid inheriting them.
+        return jax.tree_util.tree_map(np.asarray, jax.device_get(restored))
 
     # -------------------------------------------------------------- train
     def fit(self, init_params: Dict, data_iter: Iterator[Dict],
@@ -145,13 +150,15 @@ class Trainer:
         log_fh = open(log_file, "a") if log_file else None
         t_last = time.perf_counter()
         start_step = int(state.step)
-        for _ in range(start_step, num_steps):
+        for host_step in range(start_step, num_steps):
             batch = next(data_iter)
             if self.mesh is not None:
                 batch = shard_batch(batch, self.mesh)
             key, k_step = jax.random.split(key)
             state, metrics = self.train_step(state, k_step, batch)
-            step = int(state.step)
+            # host-side step counter: reading state.step would force a device
+            # sync every iteration (a fixed ~25 ms tick on some runtimes)
+            step = host_step + 1
             if step % config.steps_til_summary == 0:
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}
                 now = time.perf_counter()
