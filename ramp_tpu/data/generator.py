@@ -173,9 +173,44 @@ def sample_free_point(box_centers, box_sizes, rng: np.random.Generator,
     raise RuntimeError("no free space found")
 
 
+def plan_trajectory_via(box_centers, box_sizes, start_xy, goal_xy,
+                        horizon: int, rng: np.random.Generator,
+                        dt: float = 0.1) -> Optional[np.ndarray]:
+    """Plan through a random free via-point off the straight line.
+
+    Shortest-path data is unimodal per (start, goal): A* always picks the
+    same homotopy class, which trains the diffusion model into deterministic
+    low-diversity sampling. Routing half the demonstrations through a random
+    detour point restores the route multimodality the score model needs.
+    """
+    for _ in range(20):
+        via = sample_free_point(box_centers, box_sizes, rng)
+        seg = np.asarray(goal_xy) - np.asarray(start_xy)
+        seg_len = np.linalg.norm(seg)
+        # perpendicular distance from the straight line; want a real detour
+        t = np.clip(np.dot(via - start_xy, seg) / (seg_len ** 2 + 1e-9), 0, 1)
+        off_line = np.linalg.norm(via - (start_xy + t * seg))
+        if 0.25 < off_line < 0.8 and 0.2 < t < 0.8:
+            break
+    else:
+        return None
+    half1 = plan_trajectory(box_centers, box_sizes, start_xy, via, horizon, rng, dt)
+    half2 = plan_trajectory(box_centers, box_sizes, via, goal_xy, horizon, rng, dt)
+    if half1 is None or half2 is None:
+        return None
+    xy = np.concatenate([half1[:, :2], half2[1:, :2]])
+    xy = _chaikin(xy, iters=1)
+    xy = _resample(xy, horizon)
+    xy[0], xy[-1] = start_xy, goal_xy
+    vel = np.gradient(xy, dt, axis=0)
+    vel[0] = vel[-1] = 0.0
+    return np.concatenate([xy, vel], axis=-1).astype(np.float32)
+
+
 def plan_trajectories_for_scene(box_centers, box_sizes, n_trajs: int,
                                 horizon: int, rng: np.random.Generator,
-                                max_attempts_factor: int = 8) -> np.ndarray:
+                                max_attempts_factor: int = 8,
+                                via_fraction: float = 0.5) -> np.ndarray:
     trajs = []
     attempts = 0
     while len(trajs) < n_trajs and attempts < n_trajs * max_attempts_factor:
@@ -184,7 +219,15 @@ def plan_trajectories_for_scene(box_centers, box_sizes, n_trajs: int,
         goal = sample_free_point(box_centers, box_sizes, rng)
         if np.linalg.norm(goal - start) < 0.7:
             continue
-        traj = plan_trajectory(box_centers, box_sizes, start, goal, horizon, rng)
+        if rng.uniform() < via_fraction:
+            traj = plan_trajectory_via(box_centers, box_sizes, start, goal,
+                                       horizon, rng)
+            if traj is None:
+                traj = plan_trajectory(box_centers, box_sizes, start, goal,
+                                       horizon, rng)
+        else:
+            traj = plan_trajectory(box_centers, box_sizes, start, goal,
+                                   horizon, rng)
         if traj is not None:
             trajs.append(traj)
     if not trajs:
