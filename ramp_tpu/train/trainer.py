@@ -32,6 +32,31 @@ from ramp_tpu.train.state import TrainConfig, TrainState, create_train_state, em
 logger = logging.getLogger("ramp_tpu.train")
 
 
+def prefetch_to_device(data_iter: Iterator[Dict], mesh, depth: int = 2) -> Iterator[Dict]:
+    """Stage host batches onto the device from a background thread.
+
+    The torch-DataLoader-worker analog for a single-process SPMD trainer:
+    the numpy gather + `device_put` of the next batch overlaps the device
+    executing the current step (the GIL is released during transfers).
+    Bounded queue depth keeps at most `depth` batches in flight.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+
+    def producer():
+        for batch in data_iter:
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            q.put(batch)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        yield q.get()
+
+
 def make_train_step(unet_apply: Callable, encoder_apply: Callable,
                     schedule: DiffusionSchedule, config: TrainConfig,
                     mesh=None) -> Callable:
@@ -150,10 +175,9 @@ class Trainer:
         log_fh = open(log_file, "a") if log_file else None
         t_last = time.perf_counter()
         start_step = int(state.step)
+        staged = prefetch_to_device(data_iter, self.mesh)
         for host_step in range(start_step, num_steps):
-            batch = next(data_iter)
-            if self.mesh is not None:
-                batch = shard_batch(batch, self.mesh)
+            batch = next(staged)
             key, k_step = jax.random.split(key)
             state, metrics = self.train_step(state, k_step, batch)
             # host-side step counter: reading state.step would force a device
