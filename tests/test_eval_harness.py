@@ -84,3 +84,17 @@ def test_endpoints_pinned_in_plans(tiny_setup):
     goal_rt = np.asarray(norm.unnormalize(norm.normalize(ctx["goal"])))[:2]
     np.testing.assert_allclose(trajs[:, 0, :2], np.tile(start_rt, (4, 1)), atol=5e-3)
     np.testing.assert_allclose(trajs[:, -1, :2], np.tile(goal_rt, (4, 1)), atol=5e-3)
+
+
+def test_compose_split_shapes():
+    import numpy as np
+    from ramp_tpu.eval.harness import compose_split
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(10, 64, 2)).astype(np.float32)
+    out = compose_split(pts, rng)
+    assert out.shape == (2, 6, 64, 2)
+    np.testing.assert_allclose(out[0], pts[:6])
+    np.testing.assert_allclose(out[1][:4], pts[6:])
+    # duplicates come from the remaining four
+    for dup in out[1][4:]:
+        assert any(np.allclose(dup, p) for p in pts[6:])
