@@ -19,6 +19,7 @@ from ramp_tpu.core import diffusion as dfn
 from ramp_tpu.core.schedules import make_schedule
 from ramp_tpu.nn.encoders import ObstacleEncoder3D
 from ramp_tpu.nn.unet import TemporalUnet, UNET_DIM_MULTS
+from ramp_tpu.sampler.ddim import ddim_sample_chain
 from ramp_tpu.sampler.ddpm import ddpm_sample_chain
 from ramp_tpu.sampler.energy import make_eps_fn
 from ramp_tpu.sampler.guidance_fold import cfg_fold, compose_fold
@@ -38,7 +39,14 @@ class Planner3DConfig:
     cfg_weight: float = 5.75               # ref diffusion_model_3d.py:150
     compose_weights: Tuple[float, float] = (5.0, 5.0)  # ref :169-170
     n_diffusion_steps_without_noise: int = 0
+    use_ddim: bool = False                 # ref :296-300 (ddim=False default)
+    resample_steps: int = 1                # ref :199-210 (ships disabled)
     dtype: str = "bfloat16"
+
+    @property
+    def ddim_steps(self) -> int:
+        # ref diffusion_model_3d.py:234: sampling_timesteps = T // 5
+        return max(1, self.n_diffusion_steps // 5)
 
 
 class Planner3D:
@@ -77,11 +85,19 @@ class Planner3D:
             fold = cfg_fold(latents[0], cfg.cfg_weight)
         endpoints = dfn.Endpoints(start=start, goal=goal)
         shape = (n_samples, cfg.horizon, cfg.state_dim)
+        if cfg.use_ddim:
+            # ref diffusion_model_3d.py:220-257 (eta=0, T//5 steps)
+            return ddim_sample_chain(
+                self.schedule, self._eps_fn, params["unet"], key, shape,
+                endpoints, fold, cfg.ddim_steps,
+                predict_epsilon=cfg.predict_epsilon,
+                return_chain=return_chain)
         return ddpm_sample_chain(
             self.schedule, self._eps_fn, params["unet"], key, shape,
             endpoints, fold,
             n_diffusion_steps_without_noise=cfg.n_diffusion_steps_without_noise,
             predict_epsilon=cfg.predict_epsilon,
+            resample_steps=cfg.resample_steps,
             return_chain=return_chain)
 
     def plan(self, params, key, obstacle_pts, start, goal, n_samples: int = 1,

@@ -37,8 +37,15 @@ def ddpm_sample_chain(sch: DiffusionSchedule,
                       clip_denoised: bool = True,
                       apf: Optional[APFParams] = None,
                       apf_points: Optional[jax.Array] = None,
+                      resample_steps: int = 1,
                       return_chain: bool = False):
-    """Full ancestral chain. Returns (x_final, chain [T+n_extra+1, B, H, D])."""
+    """Full ancestral chain. Returns (x_final, chain [T+n_extra+1, B, H, D]).
+
+    `resample_steps` > 1 repeats each denoise step, re-noising the result back
+    to the same timestep with q_sample between repeats — the 3-D model's
+    resampling loop (`diffusion_model_3d.py:199-210`; it ships with
+    resample_steps=1, i.e. disabled, and so does this default).
+    """
     b, h, d = shape
     key, init_key = jax.random.split(key)
     x = jax.random.normal(init_key, shape, jnp.float32)
@@ -48,9 +55,7 @@ def ddpm_sample_chain(sch: DiffusionSchedule,
     forward_ts = jnp.arange(raw_ts.shape[0])
     step_keys = jax.random.split(key, raw_ts.shape[0])
 
-    def step(x, scan_in):
-        i, forward_t, k = scan_in
-        t = jnp.full((b,), jnp.maximum(i, 0), jnp.int32)
+    def denoise_once(x, i, forward_t, k, t):
         e = guided_eps(eps_fn, params, x, t, fold)
         x_recon = dfn.predict_start_from_noise(sch, x, t, e, predict_epsilon)
         if clip_denoised:
@@ -69,7 +74,23 @@ def ddpm_sample_chain(sch: DiffusionSchedule,
         noise = jnp.where((t == 0)[:, None, None], 0.0, noise)
         noise_std = 1.0 if noise_std_fn is None else noise_std_fn(i)
         x = mean + std * noise * noise_std
-        x = dfn.apply_hard_conditioning(x, endpoints)
+        return dfn.apply_hard_conditioning(x, endpoints)
+
+    def step(x, scan_in):
+        i, forward_t, k = scan_in
+        t = jnp.full((b,), jnp.maximum(i, 0), jnp.int32)
+        if resample_steps <= 1:
+            x = denoise_once(x, i, forward_t, k, t)
+        else:
+            # unrolled (resample_steps is static and small): denoise, then
+            # diffuse back to t and denoise again
+            for r in range(resample_steps):
+                k, k_dn, k_q = jax.random.split(k, 3)
+                x = denoise_once(x, i, forward_t, k_dn, t)
+                if r < resample_steps - 1:
+                    x = dfn.q_sample(sch, x, t, jax.random.normal(k_q, x.shape,
+                                                                  jnp.float32))
+                    x = dfn.apply_hard_conditioning(x, endpoints)
         return x, (x if return_chain else None)
 
     x0_chain = x

@@ -46,6 +46,37 @@ def test_planner3d_shapes_and_pinning():
     assert np.isfinite(np.asarray(x)).all()
 
 
+def test_planner3d_ddim_and_resampling():
+    """Optional 3-D paths: DDIM (ref diffusion_model_3d.py:220-257, T//5
+    steps) and the resampling loop (ref :199-210, re-noise between repeats)."""
+    base = dict(horizon=16, n_diffusion_steps=10, unet_input_dim=8,
+                unet_dim_mults_option=0, dtype="float32")
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (5, 16, 3),
+                             minval=-0.8, maxval=0.8)
+    start = jnp.asarray([-0.8, -0.8, -0.8, 0.0, 0.0, 0.0])
+    goal = jnp.asarray([0.8, 0.8, 0.8, 0.0, 0.0, 0.0])
+
+    cfg = Planner3DConfig(use_ddim=True, **base)
+    assert cfg.ddim_steps == 2
+    p = Planner3D(cfg)
+    params = p.init_params(jax.random.PRNGKey(0), n_obstacles=5, n_points=16)
+    x, chain = p.plan(params, jax.random.PRNGKey(2), pts, start, goal,
+                      n_samples=2)
+    assert x.shape == (2, 16, 6)
+    assert chain.shape[0] == cfg.ddim_steps + 1
+    np.testing.assert_allclose(np.asarray(x[:, 0]), np.tile(start, (2, 1)),
+                               atol=1e-5)
+    assert np.isfinite(np.asarray(x)).all()
+
+    p2 = Planner3D(Planner3DConfig(resample_steps=2, **base))
+    x2, _ = p2.plan(params, jax.random.PRNGKey(2), pts, start, goal,
+                    n_samples=2)
+    assert x2.shape == (2, 16, 6)
+    np.testing.assert_allclose(np.asarray(x2[:, -1]), np.tile(goal, (2, 1)),
+                               atol=1e-5)
+    assert np.isfinite(np.asarray(x2)).all()
+
+
 @pytest.mark.slow
 def test_dynamic_planner_episode():
     """Closed-loop episode end-to-end under jit (tiny everything)."""
