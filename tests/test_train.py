@@ -148,3 +148,33 @@ def test_process_shard_indices_partition():
     assert len(allidx) == 12  # padded to a multiple of 3
     assert set(allidx.tolist()) == set(range(10))
     assert all(len(s) == 4 for s in shards)
+
+
+def test_npz_weight_roundtrip(tmp_path):
+    """export_params_npz/load_params_npz restore shape, dtype, and values
+    (to f16 storage precision)."""
+    import numpy as np
+    from ramp_tpu.planners.static import StaticPlanner, StaticPlannerConfig
+    from ramp_tpu.utils.checkpoints import (export_params_npz, load_params_npz,
+                                            load_planner_params)
+
+    cfg = StaticPlannerConfig(horizon=8, n_diffusion_steps=10, unet_input_dim=8,
+                              unet_dim_mults_option=0, dtype="float32")
+    p = StaticPlanner(cfg)
+    params = p.init_params(jax.random.PRNGKey(3), n_obstacles=2, n_points=4)
+    path = str(tmp_path / "w.npz")
+    export_params_npz(params, path)
+    template = p.init_params(jax.random.PRNGKey(4), n_obstacles=2, n_points=4)
+    restored = load_params_npz(path, template)
+    flat_a = jax.tree_util.tree_leaves(params)
+    flat_b = jax.tree_util.tree_leaves(restored)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        assert a.shape == b.shape and a.dtype == b.dtype
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+    # load_planner_params dispatches on the .npz suffix
+    via_loader = load_planner_params(p, path, n_obstacles=2, n_points=4)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(via_loader)[0]),
+        np.asarray(flat_b[0]))
