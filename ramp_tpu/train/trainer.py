@@ -98,6 +98,76 @@ def make_train_step(unet_apply: Callable, encoder_apply: Callable,
     )
 
 
+def make_multi_step(unet_apply: Callable, encoder_apply: Callable,
+                    schedule: DiffusionSchedule, config: TrainConfig,
+                    n_items: int, steps_per_dispatch: int, mesh=None) -> Callable:
+    """Device-resident multi-step: (state, base_key, data, step0) ->
+    (state, mean metrics) running `steps_per_dispatch` train steps in ONE
+    dispatch via `lax.scan`, with batches gathered on device.
+
+    The whole dataset ({"traj": [N,H,D], "obstacle_points": [N,O,P,dim]})
+    lives in HBM (a few tens of MB); step s takes rows
+    perm(epoch)[pos*B:(pos+1)*B] of an on-device epoch permutation — exact
+    epoch-shuffle semantics (the reference's DataLoader+DistributedSampler,
+    `trainerddp/train_loaders.py:67-71`) with zero per-step host work and no
+    host->device transfers after the initial upload. This removes both the
+    per-step dispatch/tunnel overhead and any sensitivity to host CPU load.
+    """
+    tx = make_optimizer(config)
+    b = config.batch_size
+    steps_per_epoch = max(1, n_items // b)
+
+    def loss_fn(params, key, traj, obstacle_points):
+        return diffusion_loss(
+            unet_apply, encoder_apply, schedule, params, key, traj,
+            obstacle_points,
+            concept_drop_prob=config.concept_drop_prob,
+            loss_type=config.loss_type)
+
+    data_shard = batch_sharding(mesh) if mesh is not None else None
+
+    def single_step(state: TrainState, key, traj, obstacle_points):
+        (loss, info), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, key, traj, obstacle_points)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+        ema_params = ema_update(state, params, config) if config.use_ema else params
+        new_state = TrainState(step=state.step + 1, params=params,
+                               ema_params=ema_params, opt_state=opt_state)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads), **info}
+        return new_state, metrics
+
+    def multi_step(state: TrainState, base_key, data, step0):
+        def body(state, s):
+            epoch = s // steps_per_epoch
+            pos = s % steps_per_epoch
+            k_epoch = jax.random.fold_in(jax.random.fold_in(base_key, 17), epoch)
+            perm = jax.random.permutation(k_epoch, n_items)
+            idx = jax.lax.dynamic_slice(perm, (pos * b,), (b,))
+            traj = jnp.take(data["traj"], idx, axis=0)
+            obs = jnp.take(data["obstacle_points"], idx, axis=0)
+            if data_shard is not None:
+                traj = jax.lax.with_sharding_constraint(traj, data_shard)
+                obs = jax.lax.with_sharding_constraint(obs, data_shard)
+            k_step = jax.random.fold_in(base_key, s)
+            return single_step(state, k_step, traj, obs)
+
+        steps = step0 + jnp.arange(steps_per_dispatch)
+        state, ms = jax.lax.scan(body, state, steps)
+        metrics = jax.tree_util.tree_map(lambda a: a.mean(axis=0), ms)
+        return state, metrics
+
+    if mesh is None:
+        return jax.jit(multi_step, donate_argnums=(0,))
+    rep = replicate(mesh)
+    return jax.jit(
+        multi_step,
+        in_shardings=(rep, rep, rep, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+
 class Trainer:
     """Training loop: batching, logging, orbax checkpoint/resume.
 
@@ -113,6 +183,8 @@ class Trainer:
         self.config = config
         self.mesh = mesh if mesh is not None else (make_mesh() if use_mesh else None)
         self.schedule = schedule
+        self._unet_apply = unet_apply
+        self._encoder_apply = encoder_apply
         self.train_step = make_train_step(unet_apply, encoder_apply, schedule,
                                           config, self.mesh)
         self.checkpoint_dir = os.path.abspath(checkpoint_dir) if checkpoint_dir else None
@@ -199,6 +271,86 @@ class Trainer:
                     step % config.steps_til_checkpoint == 0
                     or step % config.steps_til_latest == 0):
                 self.save(state)
+        if self._ckpt_mgr is not None:
+            self.save(state)
+        if log_fh:
+            log_fh.close()
+        return state
+
+    # ------------------------------------------------- device-resident train
+    def fit_device_resident(self, init_params: Dict, dataset,
+                            num_steps: Optional[int] = None,
+                            steps_per_dispatch: int = 100,
+                            log_file: Optional[str] = None,
+                            resume: bool = True) -> TrainState:
+        """Train with the entire dataset resident in HBM and
+        `steps_per_dispatch` steps fused into one dispatch (see
+        `make_multi_step`). `dataset` is a `TrajectoryDataset` or a dict
+        {"traj": [N,H,D], "obstacle_points": [N,O,P,dim]} of host arrays.
+        """
+        config = self.config
+        num_steps = num_steps if num_steps is not None else config.num_train_steps
+        if isinstance(dataset, dict):
+            data_host = dataset
+        else:
+            data_host = {"traj": dataset.trajs_normalized,
+                         "obstacle_points": dataset.obstacle_points}
+        n_items = int(data_host["traj"].shape[0])
+
+        state = create_train_state(init_params, config)
+        if resume:
+            restored = self.restore(state)
+            if restored is not None:
+                state = restored
+                logger.info("resumed from step %d", int(state.step))
+        start_step = int(state.step)
+
+        multi = make_multi_step(
+            self._unet_apply, self._encoder_apply, self.schedule,
+            config, n_items, steps_per_dispatch, mesh=self.mesh)
+
+        if self.mesh is not None:
+            rep = replicate(self.mesh)
+            state = jax.device_put(state, rep)
+            data = jax.device_put(
+                {k: jnp.asarray(v) for k, v in data_host.items()}, rep)
+        else:
+            data = {k: jnp.asarray(v) for k, v in data_host.items()}
+
+        base_key = jax.random.PRNGKey(config.seed)
+        log_fh = open(log_file, "a") if log_file else None
+        t_last = time.perf_counter()
+        step = start_step
+        # full dispatch windows; a tail shorter than one window runs per-step
+        while num_steps - step >= steps_per_dispatch:
+            state, metrics = multi(state, base_key, data,
+                                   jnp.asarray(step, jnp.int32))
+            step += steps_per_dispatch
+            m = {kk: float(v) for kk, v in jax.device_get(metrics).items()}
+            now = time.perf_counter()
+            rec = {"step": step,
+                   "time_per_step": (now - t_last) / steps_per_dispatch, **m}
+            t_last = now
+            logger.info("step %d loss %.5f (%.1f ms/step)", step, m["loss"],
+                        1e3 * rec["time_per_step"])
+            if log_fh:
+                log_fh.write(json.dumps(rec) + "\n")
+                log_fh.flush()
+            if self._ckpt_mgr is not None and (
+                    step % config.steps_til_latest < steps_per_dispatch):
+                self.save(state)
+        if step < num_steps:  # tail smaller than one dispatch window
+            def tail_iter():
+                rng = np.random.default_rng(config.seed + 99)
+                while True:
+                    sel = rng.integers(0, n_items, config.batch_size)
+                    yield {k: np.asarray(v)[sel] for k, v in data_host.items()}
+            staged = prefetch_to_device(tail_iter(), self.mesh)
+            key = jax.random.PRNGKey(config.seed + 1)
+            while step < num_steps:
+                key, k_step = jax.random.split(key)
+                state, _ = self.train_step(state, k_step, next(staged))
+                step += 1
         if self._ckpt_mgr is not None:
             self.save(state)
         if log_fh:

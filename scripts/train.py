@@ -44,6 +44,10 @@ def main():
                    help="UNET_DIM_MULTS key (ref UnetInference.py:13)")
     p.add_argument("--log-file", default=None)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--host-pipeline", action="store_true",
+                   help="stream batches from the host instead of the "
+                        "device-resident multi-step path")
+    p.add_argument("--steps-per-dispatch", type=int, default=100)
     # multi-host
     p.add_argument("--coordinator", default=None)
     p.add_argument("--num-processes", type=int, default=None)
@@ -85,9 +89,15 @@ def main():
     tcfg = TrainConfig(lr=args.lr, batch_size=batch_size, seed=args.seed)
     trainer = Trainer(planner.unet.apply, planner.encoder.apply, schedule,
                       tcfg, checkpoint_dir=args.checkpoints, mesh=mesh)
-    data = batch_iterator(dataset, batch_size, seed=args.seed)
-    state = trainer.fit(params, data, num_steps=args.steps,
-                        log_file=args.log_file, resume=not args.no_resume)
+    if args.host_pipeline:
+        data = batch_iterator(dataset, batch_size, seed=args.seed)
+        state = trainer.fit(params, data, num_steps=args.steps,
+                            log_file=args.log_file, resume=not args.no_resume)
+    else:
+        state = trainer.fit_device_resident(
+            params, dataset, num_steps=args.steps,
+            steps_per_dispatch=args.steps_per_dispatch,
+            log_file=args.log_file, resume=not args.no_resume)
     print(f"finished at step {int(state.step)}")
 
 

@@ -178,3 +178,35 @@ def test_npz_weight_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(jax.tree_util.tree_leaves(via_loader)[0]),
         np.asarray(flat_b[0]))
+
+
+def test_multi_step_device_resident_mesh():
+    """Device-resident multi-step over the 8-device mesh: several fused steps
+    advance state.step, keep the loss finite, and visit exact epoch windows."""
+    from ramp_tpu.parallel.mesh import replicate
+    from ramp_tpu.train.trainer import make_multi_step
+
+    unet, enc, params = tiny_modules()
+    sch = make_schedule("exponential", 20)
+    cfg = dataclasses.replace(TrainConfig(), batch_size=8)
+    mesh = make_mesh()
+    n_items = 24
+    rng = np.random.default_rng(5)
+    data = {
+        "traj": jnp.asarray(rng.normal(size=(n_items, H, D)), jnp.float32),
+        "obstacle_points": jnp.asarray(rng.normal(size=(n_items, O, P, 2)),
+                                       jnp.float32),
+    }
+    multi = make_multi_step(unet, enc, sch, cfg, n_items,
+                            steps_per_dispatch=4, mesh=mesh)
+    rep = replicate(mesh)
+    state = jax.device_put(create_train_state(
+        jax.tree_util.tree_map(jnp.array, params), cfg), rep)
+    data_dev = jax.device_put(data, rep)
+    base_key = jax.random.PRNGKey(0)
+    state, metrics = multi(state, base_key, data_dev, jnp.asarray(0, jnp.int32))
+    assert int(state.step) == 4
+    assert jnp.isfinite(metrics["loss"])
+    state, metrics = multi(state, base_key, data_dev, jnp.asarray(4, jnp.int32))
+    assert int(state.step) == 8
+    assert jnp.isfinite(metrics["loss"])
