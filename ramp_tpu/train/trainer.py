@@ -32,6 +32,33 @@ from ramp_tpu.train.state import TrainConfig, TrainState, create_train_state, em
 logger = logging.getLogger("ramp_tpu.train")
 
 
+class EarlyStopper:
+    """Patience-based early stopping on a monitored loss.
+
+    Parity with `mpd/trainer/trainer.py:45-64` (there instantiated with
+    patience=-1 and its trigger commented out at :276-278 — i.e. shipped
+    disabled; disabled is the default here too via `patience=-1`).
+    """
+
+    def __init__(self, patience: int = -1, min_delta: float = 0.0):
+        self.patience = patience
+        self.min_delta = min_delta
+        self.counter = 0
+        self.min_loss = float("inf")
+
+    def should_stop(self, loss: float) -> bool:
+        if self.patience < 0:
+            return False
+        if loss < self.min_loss:
+            self.min_loss = loss
+            self.counter = 0
+        elif loss > self.min_loss + self.min_delta:
+            self.counter += 1
+            if self.counter >= self.patience:
+                return True
+        return False
+
+
 def prefetch_to_device(data_iter: Iterator[Dict], mesh, depth: int = 2) -> Iterator[Dict]:
     """Stage host batches onto the device from a background thread.
 
@@ -223,7 +250,8 @@ class Trainer:
     # -------------------------------------------------------------- train
     def fit(self, init_params: Dict, data_iter: Iterator[Dict],
             num_steps: Optional[int] = None, log_file: Optional[str] = None,
-            resume: bool = True, summary_fn: Optional[Callable] = None) -> TrainState:
+            resume: bool = True, summary_fn: Optional[Callable] = None,
+            early_stopper: Optional[EarlyStopper] = None) -> TrainState:
         """`summary_fn(state, step) -> dict` runs every `steps_til_summary`
         steps; its returns are merged into the JSONL log record. This is the
         working version of the reference's mid-training sampling summaries
@@ -267,6 +295,9 @@ class Trainer:
                 if log_fh:
                     log_fh.write(json.dumps(rec) + "\n")
                     log_fh.flush()
+                if early_stopper is not None and early_stopper.should_stop(m["loss"]):
+                    logger.info("early stop at step %d", step)
+                    break
             if self._ckpt_mgr is not None and (
                     step % config.steps_til_checkpoint == 0
                     or step % config.steps_til_latest == 0):
@@ -282,7 +313,8 @@ class Trainer:
                             num_steps: Optional[int] = None,
                             steps_per_dispatch: int = 100,
                             log_file: Optional[str] = None,
-                            resume: bool = True) -> TrainState:
+                            resume: bool = True,
+                            early_stopper: Optional[EarlyStopper] = None) -> TrainState:
         """Train with the entire dataset resident in HBM and
         `steps_per_dispatch` steps fused into one dispatch (see
         `make_multi_step`). `dataset` is a `TrajectoryDataset` or a dict
@@ -339,6 +371,10 @@ class Trainer:
             if self._ckpt_mgr is not None and (
                     step % config.steps_til_latest < steps_per_dispatch):
                 self.save(state)
+            if early_stopper is not None and early_stopper.should_stop(m["loss"]):
+                logger.info("early stop at step %d", step)
+                num_steps = step  # skip the tail loop as well
+                break
         if step < num_steps:  # tail smaller than one dispatch window
             def tail_iter():
                 rng = np.random.default_rng(config.seed + 99)

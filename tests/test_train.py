@@ -210,3 +210,19 @@ def test_multi_step_device_resident_mesh():
     state, metrics = multi(state, base_key, data_dev, jnp.asarray(4, jnp.int32))
     assert int(state.step) == 8
     assert jnp.isfinite(metrics["loss"])
+
+
+def test_early_stopper_semantics():
+    """Parity with mpd/trainer/trainer.py:45-64: patience=-1 disables; the
+    counter resets on any new minimum and trips after `patience` regressions."""
+    from ramp_tpu.train.trainer import EarlyStopper
+
+    off = EarlyStopper(patience=-1)
+    assert not any(off.should_stop(v) for v in [3.0, 4.0, 5.0, 6.0])
+
+    es = EarlyStopper(patience=2)
+    assert not es.should_stop(1.0)
+    assert not es.should_stop(1.5)   # 1st regression
+    assert not es.should_stop(0.9)   # new min resets
+    assert not es.should_stop(1.1)   # 1st regression
+    assert es.should_stop(1.2)       # 2nd -> stop
