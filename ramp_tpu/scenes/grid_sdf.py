@@ -55,3 +55,49 @@ def grid_sdf_lookup(g: GridSDF, x: jax.Array) -> jax.Array:
             for k in range(g.dim)]), axis=0)
         out = out + w * g.values[idx]
     return out
+
+
+# ------------------------------------------------------------ occupancy map
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class OccupancyGrid:
+    """Boolean occupancy grid over [lo, hi]^dim.
+
+    Equivalent of `deps/torch_robotics/.../occupancy_map.py:62-139`
+    (`OccupancyMap.get_collisions`: scale to cells, floor, clamp to bounds,
+    gather). Like the reference's, it is off the diffusion hot path — the
+    planners collision-check against point clouds — but is part of the scene
+    toolkit for grid-based costs.
+    """
+    occupied: jax.Array            # [R]*dim bool
+    lo: jax.Array                  # [dim]
+    hi: jax.Array                  # [dim]
+    resolution: int = dataclasses.field(metadata=dict(static=True))
+    dim: int = dataclasses.field(metadata=dict(static=True))
+
+
+def precompute_occupancy(scene: Scene, lo=-1.0, hi=1.0, resolution: int = 128,
+                         margin: float = 0.0) -> OccupancyGrid:
+    """Occupied where the scene SDF <= margin."""
+    g = precompute_grid_sdf(scene, lo=lo, hi=hi, resolution=resolution)
+    return OccupancyGrid(occupied=g.values <= margin, lo=g.lo, hi=g.hi,
+                         resolution=resolution, dim=scene.dim)
+
+
+def occupancy_lookup(g: OccupancyGrid, x: jax.Array) -> jax.Array:
+    """Nearest-cell occupancy. x: [..., dim] -> [...] float (1.0 = occupied).
+
+    Out-of-bounds positions clamp to the boundary cell (ref
+    occupancy_map.py:118-120).
+    """
+    u = (x - g.lo) / (g.hi - g.lo) * (g.resolution - 1)
+    idx = jnp.clip(jnp.floor(u + 0.5).astype(jnp.int32), 0, g.resolution - 1)
+    return g.occupied[tuple(idx[..., k] for k in range(g.dim))].astype(jnp.float32)
+
+
+def occupancy_collision_cost(g: OccupancyGrid, trajs: jax.Array,
+                             weight: float = 1.0) -> jax.Array:
+    """Summed occupancy cost per trajectory (ref get_collisions returns the
+    per-point collision values its callers sum). trajs: [B, H, dim] -> [B]."""
+    return weight * occupancy_lookup(g, trajs).sum(axis=-1)

@@ -104,3 +104,26 @@ def test_3d_point_generators():
     # surface points sit on at least one face
     on_face = (np.abs(np.abs(bp) - 0.2) < 1e-5).any(axis=-1)
     assert on_face.mean() >= 0.7
+
+
+def test_occupancy_grid_lookup_and_cost():
+    """Occupancy parity with occupancy_map.py:62-139: inside-box cells are
+    occupied, free cells are not, out-of-bounds clamps to the boundary."""
+    from ramp_tpu.scenes.grid_sdf import (occupancy_collision_cost,
+                                          occupancy_lookup,
+                                          precompute_occupancy)
+    scene = Scene(
+        box_centers=jnp.asarray([[0.0, 0.0]]),
+        box_sizes=jnp.asarray([[0.5, 0.5]]))
+    g = precompute_occupancy(scene, resolution=64)
+    inside = jnp.asarray([[0.0, 0.0], [0.2, 0.1]])
+    outside = jnp.asarray([[0.9, 0.9], [-0.8, 0.0]])
+    assert occupancy_lookup(g, inside).tolist() == [1.0, 1.0]
+    assert occupancy_lookup(g, outside).tolist() == [0.0, 0.0]
+    # out-of-bounds clamps (boundary of the domain is free in this scene)
+    far = jnp.asarray([[5.0, 5.0]])
+    assert float(occupancy_lookup(g, far)[0]) == 0.0
+    trajs = jnp.stack([jnp.zeros((4, 2)),              # all inside the box
+                       jnp.full((4, 2), 0.9)])          # all free
+    cost = occupancy_collision_cost(g, trajs)
+    assert cost.tolist() == [4.0, 0.0]
