@@ -86,6 +86,25 @@ class DynamicPlannerConfig:
     pursuit: PursuitParams = PursuitParams()
     smoothing_dt: float = 0.1                # ref sm() :192
     smoothing_max_vel: float = 0.8
+    use_ddim: bool = True                    # False -> DDPM p_sample_loop variant
+    # DDPM-variant constants (ref diffusion_model_dynamic.py:216-331 +
+    # sample_functionsdynamic.py:190-199). The DDPM loop has its own schedule
+    # structure (stage-I break at forward_t=25, 5-step refine, 20-step
+    # replan window) and its own APF constants.
+    ddpm_predator_start: int = 25            # ref :240 predator_start_time
+    ddpm_high_refine: int = 5                # ref :254 replan_high_level
+    ddpm_replan_step: int = 20               # ref :276 replan_step
+    ddpm_collision_threshold_high: float = 0.05  # ref :265
+    ddpm_collision_threshold_low: float = 0.06   # ref :313
+    ddpm_max_iterations: int = 50            # ref :280
+    ddpm_safe_threshold: float = 0.25        # ref :277
+    ddpm_smooth_window_inner: int = 5        # ref :297
+    ddpm_apf_threshold_static: float = 0.1   # ref sample_functionsdynamic.py:192
+    ddpm_apf_threshold_pred: float = 0.3     # ref :193 (0.2 + obs_radius)
+    ddpm_apf_strength_static: float = 0.1    # ref :194
+    ddpm_apf_strength_pred: float = 0.15     # ref :195
+    ddpm_apf_window_static: int = 10         # ref :196
+    ddpm_apf_window_pred: int = 5            # ref :197
     dtype: str = "bfloat16"
 
 
@@ -277,6 +296,185 @@ class DynamicPlanner:
             x = self._clamp_history(x, history, h_count)
         return x
 
+    # -------------------------------------------------- DDPM-variant kernels
+    def _ddpm_step(self, params, fold, x, t_scalar, k_noise, endpoints,
+                   apf_args=None):
+        """One dynamic-path DDPM posterior step with the (t/T)^2 extra noise
+        schedule (ref sample_functionsdynamic.py:163-290). `apf_args`
+        (static_apf_pts, pursuer_pts, pursuer_center, goal_state) enables the
+        replan_guide APF sandwich: static avoidance on every trajectory, plus
+        pursuer avoidance bracketed by static passes when the pursuer is near
+        (ref :222-265)."""
+        cfg = self.config
+        b, h, d = x.shape
+        t = jnp.full((b,), jnp.maximum(t_scalar, 0), jnp.int32)
+        e = guided_eps(self._eps_fn, params["unet"], x, t, fold)
+        x_recon = jnp.clip(
+            dfn.predict_start_from_noise(self.schedule, x, t, e, cfg.predict_epsilon),
+            -1.0, 1.0)
+        mean, _, log_var = dfn.q_posterior(self.schedule, x_recon, x, t)
+        x = mean
+        if apf_args is not None:
+            static_apf_pts, pursuer_pts, pursuer_center, goal_state = apf_args
+            dist = jnp.linalg.norm(x[:, 0, :2] - pursuer_center[None], axis=-1)
+
+            def per_traj(traj, dd):
+                traj = apf_windowed(traj, static_apf_pts,
+                                    cfg.ddpm_apf_threshold_static,
+                                    cfg.ddpm_apf_strength_static,
+                                    cfg.ddpm_apf_window_static)
+
+                def near_fn(tr):
+                    tr = apf_pursuer(tr, pursuer_pts,
+                                     cfg.ddpm_apf_threshold_pred,
+                                     cfg.ddpm_apf_strength_pred, goal_state)
+                    return apf_windowed(tr, static_apf_pts,
+                                        cfg.ddpm_apf_threshold_static,
+                                        cfg.ddpm_apf_strength_static,
+                                        cfg.ddpm_apf_window_static)
+
+                return jax.lax.cond(dd < cfg.ddpm_apf_threshold_pred,
+                                    near_fn, lambda tr: tr, traj)
+
+            x = jax.vmap(per_traj)(x, dist)
+            x = x.at[:, -1].set(goal_state)  # ref :267
+        std = jnp.exp(0.5 * log_var)
+        noise = jax.random.normal(k_noise, x.shape, jnp.float32)
+        noise = jnp.where((t == 0)[:, None, None], 0.0, noise)
+        noise_std = (jnp.maximum(t_scalar, 0) / cfg.n_diffusion_steps) ** 2  # ref :272
+        x = x + std * noise * noise_std
+        return dfn.apply_hard_conditioning(x, endpoints)
+
+    def _run_ddpm(self, params, key, obstacle_pts, static_apf_pts, start, goal,
+                  pursuer_init, n_samples: int):
+        """DDPM p_sample_loop closed loop (ref diffusion_model_dynamic.py:
+        216-331): STAGE I runs the ancestral chain only down to
+        forward_t == predator_start (26 steps), re-noises to t=high_refine and
+        refines; STAGE II re-noises the best plan to t=replan_step each
+        control step and runs the full DDPM window with APF + smoothing at
+        the final inner step."""
+        cfg = self.config
+        h, d = cfg.horizon, cfg.state_dim
+        latents = self.encoder.apply(params["encoder"], obstacle_pts[None])
+        fold = cfg_fold(latents[0], cfg.cfg_weight)
+        endpoints = dfn.Endpoints(start=start, goal=goal)
+        goal_state = goal
+        obstacle_pts_flat = obstacle_pts.reshape(-1, 2)
+        T = cfg.n_diffusion_steps
+
+        # ---------------- STAGE I (ref :242-263)
+        key, k_init = jax.random.split(key)
+        x = jax.random.normal(k_init, (n_samples, h, d), jnp.float32)
+        x = dfn.apply_hard_conditioning(x, endpoints)
+        # forward_t = 0 .. predator_start  <=>  t = T-1 .. T-1-predator_start
+        for t_scalar in range(T - 1, T - cfg.ddpm_predator_start - 2, -1):
+            key, k_n = jax.random.split(key)
+            x = self._ddpm_step(params, fold, x, t_scalar, k_n, endpoints)
+        # re-noise to high_refine and run the last steps (ref :255-263)
+        key, k_q = jax.random.split(key)
+        t_hr = jnp.full((n_samples,), cfg.ddpm_high_refine, jnp.int32)
+        x = dfn.q_sample(self.schedule, x, t_hr,
+                         jax.random.normal(k_q, x.shape, jnp.float32))
+        x = dfn.apply_hard_conditioning(x, endpoints)
+        for t_scalar in range(cfg.ddpm_high_refine - 1, -1, -1):
+            key, k_n = jax.random.split(key)
+            x = self._ddpm_step(params, fold, x, t_scalar, k_n, endpoints)
+
+        sel = select_best_trajectory(x, obstacle_pts,
+                                     cfg.ddpm_collision_threshold_high)
+        fallback = jnp.argmin(collision_counts(x, obstacle_pts_flat,
+                                               cfg.ddpm_collision_threshold_high))
+        best = jnp.where(sel.any_free, sel.best_index, fallback)
+        high_plan = x[best]
+
+        history0 = jnp.zeros((h, d)).at[0].set(high_plan[0])
+
+        class Carry(NamedTuple):
+            x_best: jax.Array
+            history: jax.Array
+            h_count: jax.Array
+            pursuer: jax.Array
+            key: jax.Array
+            done: jax.Array
+
+        carry0 = Carry(high_plan, history0, jnp.asarray(1), pursuer_init,
+                       key, jnp.asarray(False))
+
+        def control_step(carry: Carry, k_idx):
+            stepp = k_idx
+            key = carry.key
+            key, k_pts, k_q2 = jax.random.split(key, 3)
+
+            row = jnp.clip(stepp, 0, h - 1)
+            evader_now = jax.lax.dynamic_slice(carry.x_best, (row, 0), (1, d))[0, :2]
+            pursuer = pursuit_step(k_idx, carry.pursuer, evader_now, cfg.pursuit)
+            pursuer_pts = generate_sphere_points(
+                k_pts, pursuer, jnp.asarray(cfg.pursuer_radius),
+                cfg.points_per_obstacle)
+
+            # re-noise the selected plan to replan_step (ref :283-285)
+            x = jnp.broadcast_to(carry.x_best[None], (n_samples, h, d))
+            t_rs = jnp.full((n_samples,), cfg.ddpm_replan_step, jnp.int32)
+            x = dfn.q_sample(self.schedule, x, t_rs,
+                             jax.random.normal(k_q2, x.shape, jnp.float32))
+            x = x.at[:, 0, 2:].set(0.0)
+            x = self._clamp_history(x, carry.history, carry.h_count)
+            x = x.at[:, -1].set(goal_state)
+
+            for j in range(cfg.ddpm_replan_step - 1, -1, -1):
+                key, k_n = jax.random.split(key)
+                if j == 0:
+                    x = _smooth_segment(x, stepp, cfg.ddpm_smooth_window_inner,
+                                        cfg.smoothing_dt, cfg.smoothing_max_vel)
+                    x = self._ddpm_step(params, fold, x, j, k_n, endpoints,
+                                        apf_args=(static_apf_pts, pursuer_pts,
+                                                  pursuer, goal_state))
+                else:
+                    x = self._ddpm_step(params, fold, x, j, k_n, endpoints)
+                x = self._clamp_history(x, carry.history, carry.h_count)
+                x = x.at[:, -1].set(goal_state)
+                x = x.at[:, 0, 2:].set(0.0)
+
+            x = _smooth_segment(x, stepp, 2, cfg.smoothing_dt,
+                                cfg.smoothing_max_vel)
+            sel2 = self._select(x, obstacle_pts_flat, pursuer_pts, pursuer,
+                                stepp, cfg.ddpm_collision_threshold_low)
+            fallback = jnp.argmin(collision_counts(
+                x, obstacle_pts_flat, cfg.ddpm_collision_threshold_low))
+            pick = jnp.where(sel2.any_free, sel2.best_index, fallback)
+            x_sel = x[pick]
+            x_sel = x_sel.at[0, 2:].set(0.0)
+
+            next_row = jnp.clip(stepp + 1, 0, h - 1)
+            next_state = jax.lax.dynamic_slice(x_sel, (next_row, 0), (1, d))[0]
+            new_history = jax.lax.dynamic_update_slice(
+                carry.history, next_state[None], (next_row, 0))
+            cur_state = jax.lax.dynamic_slice(x_sel, (row, 0), (1, d))[0]
+            reached = jnp.linalg.norm(
+                cur_state[:2] - goal_state[:2]) < cfg.ddpm_safe_threshold
+
+            was_done = carry.done
+            new_carry = Carry(
+                x_best=jnp.where(was_done, carry.x_best, x_sel),
+                history=jnp.where(was_done, carry.history, new_history),
+                h_count=jnp.where(was_done, carry.h_count, carry.h_count + 1),
+                pursuer=jnp.where(was_done, carry.pursuer, pursuer),
+                key=key,
+                done=jnp.logical_or(was_done, reached),
+            )
+            out = (jnp.where(was_done, carry.x_best, x_sel),
+                   jnp.where(was_done, carry.pursuer, pursuer),
+                   jnp.where(was_done, carry.x_best[jnp.clip(stepp, 0, h - 1)], cur_state),
+                   ~was_done)
+            return new_carry, out
+
+        carry_f, (plans, pursuers, evaders, valid) = jax.lax.scan(
+            control_step, carry0, jnp.arange(cfg.ddpm_max_iterations))
+
+        return EpisodeResult(
+            plans=plans, pursuer_centers=pursuers, evader_states=evaders,
+            valid=valid, n_steps=jnp.sum(valid), high_plan=high_plan)
+
     # ------------------------------------------------------------------ run
     def _run(self, params, key, obstacle_pts, static_apf_pts, start, goal,
              pursuer_init, n_samples: int):
@@ -403,7 +601,8 @@ class DynamicPlanner:
         pursuer_init: [2] initial pursuer position.
         """
         if n_samples not in self._run_jit:
+            run = self._run if self.config.use_ddim else self._run_ddpm
             self._run_jit[n_samples] = jax.jit(
-                partial(self._run, n_samples=n_samples))
+                partial(run, n_samples=n_samples))
         return self._run_jit[n_samples](params, key, obstacle_pts, static_apf_pts,
                                         start, goal, pursuer_init)

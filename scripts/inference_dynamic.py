@@ -35,6 +35,9 @@ def main():
     p.add_argument("--dim-mults-option", type=int, default=1, choices=[0, 1])
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="override the JAX backend (e.g. cpu for debugging)")
+    p.add_argument("--ddpm", action="store_true",
+                   help="use the DDPM p_sample_loop closed-loop variant "
+                        "(ref diffusion_model_dynamic.py:216-331) instead of DDIM")
     args = p.parse_args()
 
     from ramp_tpu.utils.platform import enable_compilation_cache, set_platform
@@ -45,7 +48,8 @@ def main():
     cfg = DynamicPlannerConfig(horizon=dataset.horizon,
                                state_dim=dataset.state_dim,
                                unet_input_dim=args.unet_dim,
-                               unet_dim_mults_option=args.dim_mults_option)
+                               unet_dim_mults_option=args.dim_mults_option,
+                               use_ddim=not args.ddpm)
     planner = DynamicPlanner(cfg)
     n_obs, n_pts = dataset.obstacle_points.shape[1:3]
 

@@ -101,3 +101,34 @@ def test_dynamic_planner_episode():
     assert np.isfinite(np.asarray(result.plans)).all()
     # pursuer stays in bounds (clipped dynamics)
     assert np.abs(np.asarray(result.pursuer_centers)).max() <= 1.0 + 1e-6
+
+
+@pytest.mark.slow
+def test_dynamic_planner_ddpm_variant():
+    """DDPM p_sample_loop closed loop (ref diffusion_model_dynamic.py:216-331)
+    end-to-end under jit (tiny everything)."""
+    cfg = DynamicPlannerConfig(horizon=12, n_diffusion_steps=10,
+                               unet_input_dim=8, unet_dim_mults_option=0,
+                               use_ddim=False,
+                               ddpm_predator_start=3, ddpm_high_refine=2,
+                               ddpm_replan_step=3, ddpm_max_iterations=4,
+                               ddpm_smooth_window_inner=3,
+                               points_per_obstacle=8, dtype="float32")
+    p = DynamicPlanner(cfg)
+    params = p.init_params(jax.random.PRNGKey(0), n_obstacles=4, n_points=8)
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (4, 8, 2),
+                             minval=-0.8, maxval=0.8)
+    apf_pts = pts.reshape(-1, 2)
+    start = jnp.asarray([-0.8, -0.8, 0.0, 0.0])
+    goal = jnp.asarray([0.8, 0.8, 0.0, 0.0])
+    pursuer = jnp.asarray([0.0, 0.8])
+    result = p.run_episode(params, jax.random.PRNGKey(2), pts, apf_pts,
+                           start, goal, pursuer, n_samples=3)
+    assert result.plans.shape == (cfg.ddpm_max_iterations, 12, 4)
+    assert int(result.n_steps) >= 1
+    assert np.isfinite(np.asarray(result.plans)).all()
+    # endpoint pinning survives the DDPM loop: goal row intact on valid steps
+    valid = np.asarray(result.valid)
+    goals = np.asarray(result.plans)[valid, -1, :2]
+    np.testing.assert_allclose(goals, np.tile(goal[:2], (valid.sum(), 1)),
+                               atol=1e-4)
