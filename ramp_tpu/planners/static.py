@@ -157,3 +157,26 @@ class StaticPlanner:
         the caller, ref core/utils.py:6-26). Returns (x, chain)."""
         return self.plan_fn(n_samples, return_chain)(
             params, key, obstacle_pts, start, goal)
+
+    def plan_fn_sharded(self, n_samples: int, mesh, return_chain: bool = False):
+        """Jitted plan with the trajectory population sharded over the mesh's
+        `data` axis — the inference-time scaling axis (SURVEY.md §2.3): params
+        and scene replicate, the n_samples batch splits across chips, and XLA
+        partitions the whole denoise scan (U-Net, APF, CFG fold) with
+        collectives over ICI. n_samples must divide by the mesh size.
+        """
+        from ramp_tpu.parallel.mesh import batch_sharding, replicate
+
+        if n_samples % mesh.devices.size != 0:
+            raise ValueError(f"n_samples={n_samples} must divide the mesh "
+                             f"size {mesh.devices.size}")
+        rep = replicate(mesh)
+        out = batch_sharding(mesh)
+        # chain has the step axis first: shard its sample axis (dim 1)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        chain_out = NamedSharding(mesh, P(None, "data")) if return_chain else None
+        return jax.jit(
+            partial(self._plan, n_samples=n_samples, return_chain=return_chain),
+            in_shardings=(rep, rep, rep, rep, rep),
+            out_shardings=(out, chain_out),
+        )

@@ -132,3 +132,31 @@ def test_dynamic_planner_ddpm_variant():
     goals = np.asarray(result.plans)[valid, -1, :2]
     np.testing.assert_allclose(goals, np.tile(goal[:2], (valid.sum(), 1)),
                                atol=1e-4)
+
+
+def test_static_planner_sharded_population():
+    """Inference-time data parallelism: the trajectory population shards over
+    the mesh's data axis and matches the single-device result bitwise (JAX
+    RNG is value-deterministic regardless of sharding)."""
+    from ramp_tpu.parallel.mesh import make_mesh
+
+    cfg = StaticPlannerConfig(horizon=16, n_diffusion_steps=10,
+                              unet_input_dim=8, unet_dim_mults_option=0,
+                              dtype="float32")
+    p = StaticPlanner(cfg)
+    params = p.init_params(jax.random.PRNGKey(0), n_obstacles=4, n_points=8)
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (4, 8, 2),
+                             minval=-0.8, maxval=0.8)
+    start = jnp.asarray([-0.8, -0.8, 0.0, 0.0])
+    goal = jnp.asarray([0.8, 0.8, 0.0, 0.0])
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    fn = p.plan_fn_sharded(16, mesh)
+    x, _ = fn(params, jax.random.PRNGKey(2), pts, start, goal)
+    assert x.shape == (16, 16, 4)
+    # the population really is sharded across devices
+    assert len(x.sharding.device_set) == 8
+    x_ref, _ = p.plan(params, jax.random.PRNGKey(2), pts, start, goal,
+                      n_samples=16, return_chain=False)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref),
+                               rtol=2e-4, atol=2e-5)
