@@ -131,6 +131,11 @@ class StaticEvalHarness:
         task_ids = list(dataset.map_task_id_to_trajectories_id.keys())
         if max_tasks is not None:
             task_ids = task_ids[:max_tasks]
+        # compile outside the timed region (ref inference_static.py:114-121
+        # warms up after torch.compile; here ONE compilation serves all envs)
+        n_obs, n_pts = dataset.obstacle_points.shape[-3:-1]
+        self.planner.warmup(self.params, n_obs, n_pts, n_samples=n_samples,
+                            return_chain=False)
         for tid in task_ids:
             idx = int(dataset.map_task_id_to_trajectories_id[tid][0])
             obstacle_points = dataset.obstacle_points[idx]

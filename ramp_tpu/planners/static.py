@@ -158,6 +158,21 @@ class StaticPlanner:
         return self.plan_fn(n_samples, return_chain)(
             params, key, obstacle_pts, start, goal)
 
+    def warmup(self, params, n_obstacles: int, n_points: int,
+               n_samples: int = 20, return_chain: bool = True) -> None:
+        """Compile + execute one plan on dummy inputs (ref
+        diffusion_model_static.py:405-435, called before timing at
+        inference_static.py:114-121). One compilation serves every
+        scene/context afterwards."""
+        dim = 2
+        shape = (2, n_obstacles, n_points, dim) if self.config.compose \
+            else (n_obstacles, n_points, dim)
+        pts = jnp.zeros(shape, jnp.float32)
+        zero = jnp.zeros((self.config.state_dim,), jnp.float32)
+        x, _ = self.plan_fn(n_samples, return_chain)(
+            params, jax.random.PRNGKey(0), pts, zero, zero)
+        jax.block_until_ready(x)
+
     def plan_fn_sharded(self, n_samples: int, mesh, return_chain: bool = False):
         """Jitted plan with the trajectory population sharded over the mesh's
         `data` axis — the inference-time scaling axis (SURVEY.md §2.3): params
