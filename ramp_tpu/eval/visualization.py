@@ -54,9 +54,10 @@ def save_static_plot(path: str, trajs: np.ndarray, box_centers, box_sizes,
 
 def save_dynamic_gif(path: str, chains: Dict[str, np.ndarray], box_centers,
                      box_sizes, goal, pursuer_radius: float = 0.1,
-                     fps: int = 8) -> None:
-    """Pursuit-evasion episode GIF: executed path + pursuer circle per control
-    step (ref :89-236). `chains` from `dynamic_harness.episode_chains`."""
+                     pf_threshold: float = 0.3, fps: int = 8) -> None:
+    """Pursuit-evasion episode GIF: executed path, pursuer circle + history,
+    and the potential-field heat overlay per control step (ref :89-236).
+    `chains` from `dynamic_harness.episode_chains`."""
     from matplotlib.animation import FuncAnimation, PillowWriter
 
     chain_start = np.asarray(chains["chain_start"])
@@ -72,6 +73,20 @@ def save_dynamic_gif(path: str, chains: Dict[str, np.ndarray], box_centers,
         ax.plot(chain_start[:k + 1, 0], chain_start[:k + 1, 1], "b.-", lw=1.5)
         if plans is not None and k < len(plans):
             ax.plot(plans[k][:, 0], plans[k][:, 1], "c--", lw=0.8, alpha=0.6)
+        # pursuer history + potential-field heat overlay (ref :176-236:
+        # exp(-d/thr) masked to d <= thr around the pursuer)
+        ax.plot(chain_obs[:k, 0], chain_obs[:k, 1], "o", ms=3,
+                color="peachpuff")
+        cx, cy = chain_obs[k]
+        thr = pf_threshold
+        gx = np.linspace(cx - thr, cx + thr, 60)
+        gy = np.linspace(cy - thr, cy + thr, 60)
+        gxx, gyy = np.meshgrid(gx, gy)
+        dist = np.sqrt((gxx - cx) ** 2 + (gyy - cy) ** 2)
+        z = np.ma.masked_where(dist > thr, np.exp(-dist / thr))
+        ax.pcolormesh(gxx, gyy, z, cmap="YlOrRd", alpha=0.15, shading="auto")
+        ax.add_patch(Circle((cx, cy), thr, fill=False, color="peachpuff",
+                            linestyle="--"))
         ax.add_patch(Circle(chain_obs[k], pursuer_radius, color="tab:red",
                             alpha=0.6))
         ax.set_title(f"step {k + 1}/{n}")
