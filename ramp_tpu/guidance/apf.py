@@ -44,6 +44,23 @@ class APFParams(NamedTuple):
     window: int = 7
     iters: int = 3
     apply_from_step: int = 2
+    backend: str = "xla"   # "xla" (fused by the compiler) or "pallas"
+
+
+def apf_batch_fn(backend: str):
+    """Resolve the static-APF implementation: the XLA version (portable,
+    compiler-fused) or the hand-fused Pallas TPU kernel (apf_pallas.py).
+    On CPU the Pallas kernel runs in interpret mode (no Mosaic backend)."""
+    if backend == "pallas":
+        import functools
+
+        import jax
+
+        from ramp_tpu.guidance.apf_pallas import apf_static_batch_pallas
+        if jax.default_backend() == "cpu":
+            return functools.partial(apf_static_batch_pallas, interpret=True)
+        return apf_static_batch_pallas
+    return apf_static_batch
 
 
 def nearest_obstacle(xy: jax.Array, pts: jax.Array):

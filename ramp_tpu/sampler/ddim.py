@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ramp_tpu.core import diffusion as dfn
 from ramp_tpu.core.schedules import DiffusionSchedule, ddim_timesteps
-from ramp_tpu.guidance.apf import APFParams, apf_static_batch
+from ramp_tpu.guidance.apf import APFParams, apf_batch_fn
 from ramp_tpu.sampler.guidance_fold import GuidanceFold, guided_eps
 
 
@@ -68,11 +68,13 @@ def ddim_sample_chain(sch: DiffusionSchedule,
         if clip_denoised:
             x_recon = jnp.clip(x_recon, -1.0, 1.0)
         if apf is not None and apf_points is not None:
+            apf_step = apf_batch_fn(apf.backend)
+
             def with_apf(xr):
                 for _ in range(apf.iters):
-                    xr = apf_static_batch(xr, apf_points,
-                                          apf.distance_threshold,
-                                          apf.strength, apf.window)
+                    xr = apf_step(xr, apf_points,
+                                  apf.distance_threshold,
+                                  apf.strength, apf.window)
                     xr = dfn.apply_hard_conditioning(xr, endpoints)
                 return xr
             x_recon = jax.lax.cond(forward_t >= apf.apply_from_step,

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ramp_tpu.core import diffusion as dfn
 from ramp_tpu.core.schedules import DiffusionSchedule
-from ramp_tpu.guidance.apf import APFParams, apf_static_batch
+from ramp_tpu.guidance.apf import APFParams, apf_batch_fn
 from ramp_tpu.sampler.guidance_fold import GuidanceFold, guided_eps
 
 
@@ -64,10 +64,11 @@ def ddpm_sample_chain(sch: DiffusionSchedule,
         if apf is not None and apf_points is not None:
             # ref diffusion_model_static.py:176-185 (DDPM branch: single APF
             # pass on the posterior mean once forward_t > 20)
+            apf_step = apf_batch_fn(apf.backend)
             mean = jax.lax.cond(
                 forward_t > apf.apply_from_step,
-                lambda m: apf_static_batch(m, apf_points, apf.distance_threshold,
-                                           apf.strength, apf.window),
+                lambda m: apf_step(m, apf_points, apf.distance_threshold,
+                                   apf.strength, apf.window),
                 lambda m: m, mean)
         std = jnp.exp(0.5 * log_var)
         noise = jax.random.normal(k, x.shape, jnp.float32)

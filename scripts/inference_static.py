@@ -29,6 +29,9 @@ def main():
     p.add_argument("--max-envs", type=int, default=None)
     p.add_argument("--compose", action="store_true")
     p.add_argument("--use-apf", action="store_true")
+    p.add_argument("--apf-backend", default="xla", choices=["xla", "pallas"],
+                   help="APF kernel: compiler-fused XLA or the hand-fused "
+                        "Pallas TPU kernel (guidance/apf_pallas.py)")
     p.add_argument("--results", default="eval_results_static.json")
     p.add_argument("--context-dir", default=None)
     p.add_argument("--plots-dir", default=None)
@@ -44,11 +47,13 @@ def main():
     enable_compilation_cache()
 
     dataset = TrajectoryDataset(args.dataset, include_velocity=True)
+    from ramp_tpu.guidance.apf import APFParams
     cfg = StaticPlannerConfig(horizon=dataset.horizon,
                               state_dim=dataset.state_dim,
                               unet_input_dim=args.unet_dim,
                               unet_dim_mults_option=args.dim_mults_option,
-                              compose=args.compose, use_apf=args.use_apf)
+                              compose=args.compose, use_apf=args.use_apf,
+                              apf=APFParams(backend=args.apf_backend))
     planner = StaticPlanner(cfg)
     n_obs, n_pts = dataset.obstacle_points.shape[1:3]
     params = load_planner_params(planner, args.checkpoints, n_obs, n_pts,
