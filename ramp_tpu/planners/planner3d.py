@@ -107,3 +107,22 @@ class Planner3D:
             self._plan_jit[sig] = jax.jit(
                 partial(self._plan, n_samples=n_samples, return_chain=return_chain))
         return self._plan_jit[sig](params, key, obstacle_pts, start, goal)
+
+    def plan_fn_sharded(self, n_samples: int, mesh, return_chain: bool = False):
+        """Trajectory population sharded over the mesh's `data` axis (see
+        `StaticPlanner.plan_fn_sharded`)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ramp_tpu.parallel.mesh import batch_sharding, replicate
+
+        if n_samples % mesh.devices.size != 0:
+            raise ValueError(f"n_samples={n_samples} must divide the mesh "
+                             f"size {mesh.devices.size}")
+        rep = replicate(mesh)
+        out = batch_sharding(mesh)
+        chain_out = NamedSharding(mesh, P(None, "data")) if return_chain else None
+        return jax.jit(
+            partial(self._plan, n_samples=n_samples, return_chain=return_chain),
+            in_shardings=(rep, rep, rep, rep, rep),
+            out_shardings=(out, chain_out),
+        )

@@ -160,3 +160,22 @@ def test_static_planner_sharded_population():
                       n_samples=16, return_chain=False)
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_planner3d_sharded_population():
+    from ramp_tpu.parallel.mesh import make_mesh
+
+    cfg = Planner3DConfig(horizon=16, n_diffusion_steps=8, unet_input_dim=8,
+                          unet_dim_mults_option=0, dtype="float32")
+    p = Planner3D(cfg)
+    params = p.init_params(jax.random.PRNGKey(0), n_obstacles=5, n_points=16)
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (5, 16, 3),
+                             minval=-0.8, maxval=0.8)
+    start = jnp.asarray([-0.8, -0.8, -0.8, 0.0, 0.0, 0.0])
+    goal = jnp.asarray([0.8, 0.8, 0.8, 0.0, 0.0, 0.0])
+    mesh = make_mesh()
+    fn = p.plan_fn_sharded(8, mesh)
+    x, _ = fn(params, jax.random.PRNGKey(2), pts, start, goal)
+    assert x.shape == (8, 16, 6)
+    assert len(x.sharding.device_set) == 8
+    assert np.isfinite(np.asarray(x)).all()
