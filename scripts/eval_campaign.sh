@@ -25,22 +25,22 @@ python scripts/export_weights.py --checkpoints checkpoints/planner3d_v2 --threed
 
 log static eval simple2d plain
 python scripts/inference_static.py --dataset dataset/EnvSimple2dquant_v2 \
-    --checkpoints checkpoints/simple2d_v2 --max-envs 16 --n-contexts 10 \
+    --checkpoints checkpoints/simple2d_v2 --n-contexts 10 \
     --n-samples 20 --results eval_results_static.json \
     --plots-dir plots_eval > logs/eval_static.out 2>&1
 log static eval simple2d apf
 python scripts/inference_static.py --dataset dataset/EnvSimple2dquant_v2 \
-    --checkpoints checkpoints/simple2d_v2 --max-envs 16 --n-contexts 10 \
+    --checkpoints checkpoints/simple2d_v2 --n-contexts 10 \
     --n-samples 20 --use-apf --results eval_results_static_apf.json \
     > logs/eval_static_apf.out 2>&1
 log static eval hard2d compose+apf
 python scripts/inference_static.py --dataset dataset/EnvHard2dquant_v2 \
-    --checkpoints checkpoints/hard2d_v2 --max-envs 8 --n-contexts 5 \
+    --checkpoints checkpoints/hard2d_v2 --max-envs 24 --n-contexts 5 \
     --n-samples 20 --compose --use-apf \
     --results eval_results_compose.json > logs/eval_compose.out 2>&1
 log dynamic eval predator
 python scripts/inference_dynamic.py --dataset dataset/EnvPredator_v2 \
-    --checkpoints checkpoints/predator_v2 --n-contexts 10 --n-experiments 2 \
+    --checkpoints checkpoints/predator_v2 --n-contexts 20 --n-experiments 2 \
     --n-samples 35 --results eval_results_dynamic.json --gif-dir gifs \
     > logs/eval_dynamic.out 2>&1
 log 3d eval
