@@ -328,6 +328,11 @@ class Trainer:
             data_host = {"traj": dataset.trajs_normalized,
                          "obstacle_points": dataset.obstacle_points}
         n_items = int(data_host["traj"].shape[0])
+        if config.batch_size > n_items:
+            raise ValueError(
+                f"batch_size {config.batch_size} exceeds the dataset size "
+                f"{n_items}; use a smaller batch or the host pipeline "
+                f"(`fit`), which samples with replacement")
 
         state = create_train_state(init_params, config)
         if resume:
