@@ -590,6 +590,24 @@ class DynamicPlanner:
             plans=plans, pursuer_centers=pursuers, evader_states=evaders,
             valid=valid, n_steps=jnp.sum(valid), high_plan=high_plan)
 
+    def run_episodes_batch(self, params, keys, obstacle_pts, static_apf_pts,
+                           starts, goals, pursuer_inits,
+                           n_samples: int = 35) -> EpisodeResult:
+        """Run a BATCH of closed-loop episodes in one dispatch by vmapping the
+        whole episode (contexts are independent). Leading axis K on every
+        argument except params. One compilation, K episodes resident on
+        device simultaneously — the eval-throughput analog of the sharded
+        trajectory population.
+        """
+        sig = ("batch", n_samples)
+        if sig not in self._run_jit:
+            run = self._run if self.config.use_ddim else self._run_ddpm
+            self._run_jit[sig] = jax.jit(jax.vmap(
+                partial(run, n_samples=n_samples),
+                in_axes=(None, 0, 0, 0, 0, 0, 0)))
+        return self._run_jit[sig](params, keys, obstacle_pts, static_apf_pts,
+                                  starts, goals, pursuer_inits)
+
     def run_episode(self, params, key, obstacle_pts, static_apf_pts, start, goal,
                     pursuer_init, n_samples: int = 35) -> EpisodeResult:
         """Run one closed-loop episode under jit.

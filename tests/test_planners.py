@@ -179,3 +179,33 @@ def test_planner3d_sharded_population():
     assert x.shape == (8, 16, 6)
     assert len(x.sharding.device_set) == 8
     assert np.isfinite(np.asarray(x)).all()
+
+
+@pytest.mark.slow
+def test_dynamic_planner_batched_episodes():
+    """vmapped closed-loop episodes: one dispatch runs K contexts and matches
+    the per-episode path."""
+    cfg = DynamicPlannerConfig(horizon=12, n_diffusion_steps=10,
+                               unet_input_dim=8, unet_dim_mults_option=0,
+                               ddim_steps_high=5, ddim_steps_low=2,
+                               max_iterations=3, points_per_obstacle=8,
+                               dtype="float32")
+    p = DynamicPlanner(cfg)
+    params = p.init_params(jax.random.PRNGKey(0), n_obstacles=4, n_points=8)
+    k = 2
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (k, 4, 8, 2),
+                             minval=-0.8, maxval=0.8)
+    apf_pts = pts.reshape(k, -1, 2)
+    starts = jnp.tile(jnp.asarray([-0.8, -0.8, 0.0, 0.0]), (k, 1))
+    goals = jnp.tile(jnp.asarray([0.8, 0.8, 0.0, 0.0]), (k, 1))
+    pursuers = jnp.tile(jnp.asarray([0.0, 0.8]), (k, 1))
+    keys = jax.random.split(jax.random.PRNGKey(2), k)
+    res = p.run_episodes_batch(params, keys, pts, apf_pts, starts, goals,
+                               pursuers, n_samples=3)
+    assert res.plans.shape == (k, 3, 12, 4)
+    assert np.isfinite(np.asarray(res.plans)).all()
+    # batched episode 0 == solo episode with the same key/scene
+    solo = p.run_episode(params, keys[0], pts[0], apf_pts[0], starts[0],
+                         goals[0], pursuers[0], n_samples=3)
+    np.testing.assert_allclose(np.asarray(res.plans[0]),
+                               np.asarray(solo.plans), rtol=2e-4, atol=2e-5)
