@@ -132,8 +132,12 @@ class StaticEvalHarness:
         if max_tasks is not None:
             task_ids = task_ids[:max_tasks]
         # compile outside the timed region (ref inference_static.py:114-121
-        # warms up after torch.compile; here ONE compilation serves all envs)
+        # warms up after torch.compile; here ONE compilation serves all envs).
+        # In compose mode the planner sees the 6-obstacle split sets, not the
+        # raw dataset cloud — warm up with the real call shape.
         n_obs, n_pts = dataset.obstacle_points.shape[-3:-1]
+        if self.planner.config.compose:
+            n_obs = 6  # compose_split output (ref inference_static.py:68-73)
         self.planner.warmup(self.params, n_obs, n_pts, n_samples=n_samples,
                             return_chain=False)
         for tid in task_ids:
