@@ -66,8 +66,11 @@ def _apf_kernel(traj_ref, pts_ref, out_ref, *, distance_threshold: float,
     w_mat = jnp.where(jnp.abs(offs) <= window, w_mat, 0.0)
     force_field = jnp.dot(w_mat, force, preferred_element_type=jnp.float32)
 
-    out = traj.astype(jnp.float32)
-    out = out.at[:, :2].add(force_field)
+    # dense add of the zero-padded force (slice scatter-add does not lower
+    # through Mosaic; a concat + add does, and fuses identically)
+    d = traj.shape[1]
+    pad = jnp.zeros((h, d - 2), jnp.float32)
+    out = traj.astype(jnp.float32) + jnp.concatenate([force_field, pad], axis=-1)
     out_ref[0] = out.astype(traj_ref.dtype)
 
 
