@@ -99,17 +99,28 @@ class TrajectoryDataset:
     `trajectories.py:312-351`) — pass `task_ids=[i]` for the latter.
     """
 
-    def __init__(self, base_dir: str, include_velocity: bool = True,
+    def __init__(self, base_dir, include_velocity: bool = True,
                  static: bool = True, task_ids: Optional[List[int]] = None,
                  normalizer: str = "LimitsNormalizer"):
-        self.base_dir = base_dir
+        # `base_dir` may be one directory, a comma-separated list, or a list
+        # of directories — extra roots concatenate their tasks (scene-set
+        # augmentation for training; the normalizer fits the union). The
+        # reference's loader is single-root (`trajectories.py:114`).
+        if isinstance(base_dir, str):
+            base_dirs = [d for d in base_dir.split(",") if d]
+        else:
+            base_dirs = list(base_dir)
+        self.base_dir = base_dirs[0]
         self.static = static
         self.include_velocity = include_velocity
 
-        subdirs = sorted(
-            (d for d in os.listdir(base_dir)
-             if os.path.isdir(os.path.join(base_dir, d))),
-            key=lambda d: (len(d), d))
+        subdirs = []
+        for root in base_dirs:
+            subdirs.extend(
+                (root, d) for d in sorted(
+                    (d for d in os.listdir(root)
+                     if os.path.isdir(os.path.join(root, d))),
+                    key=lambda d: (len(d), d)))
         if task_ids is not None:
             subdirs = [subdirs[i] for i in task_ids]
 
@@ -118,8 +129,8 @@ class TrajectoryDataset:
         self.task_dirs: List[str] = []
         n = 0
         metadata = {}
-        for tid, sub in enumerate(subdirs):
-            task = load_task_dir(os.path.join(base_dir, sub), static=static)
+        for tid, (root, sub) in enumerate(subdirs):
+            task = load_task_dir(os.path.join(root, sub), static=static)
             if task is None:
                 continue
             k = task["trajs"].shape[0]

@@ -45,12 +45,24 @@ class FeedForward(nn.Module):
 
 
 class CrossAttention(nn.Module):
-    """Multi-head cross attention; self-attention when context is None."""
+    """Multi-head cross attention; self-attention when context is None.
+
+    `attn_impl` selects the lowering of the same math (identical params):
+      * "default": split-heads via transpose to [B,h,N,d] then batched matmuls
+        (the torch-parity formulation).
+      * "bnhd":    heads stay in place — einsum over [B,N,h,d] with (batch,
+        head) as dot batch dims, letting XLA fold the head split into the
+        matmul instead of materializing layout copies (the profiler shows
+        ~12% of replan time in [B,4,64,64] relayout copies on TPU).
+      * "flash":   fused Pallas TPU flash-attention kernel (fwd+bwd custom
+        vjp), no materialized attention matrix.
+    """
     query_dim: int
     context_dim: Optional[int] = None
     heads: int = 8
     dim_head: int = 64
     dtype: Any = jnp.float32
+    attn_impl: str = "default"
 
     @nn.compact
     def __call__(self, x, context=None):
@@ -72,6 +84,21 @@ class CrossAttention(nn.Module):
             # over every query position. q/k are dead code (DCE'd by XLA;
             # their params still exist and simply receive zero gradient).
             out = jnp.broadcast_to(v, (b, n, inner))
+        elif self.attn_impl == "bnhd":
+            q = q.reshape(b, n, self.heads, self.dim_head)
+            k = k.reshape(b, m, self.heads, self.dim_head)
+            v = v.reshape(b, m, self.heads, self.dim_head)
+            sim = jnp.einsum("bihd,bjhd->bhij", q, k,
+                             preferred_element_type=jnp.float32) * (self.dim_head ** -0.5)
+            attn = jax.nn.softmax(sim, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhij,bjhd->bihd", attn, v,
+                             preferred_element_type=jnp.float32).astype(self.dtype)
+            out = out.reshape(b, n, inner)
+        elif self.attn_impl == "flash":
+            out = _flash_mha(q.reshape(b, n, self.heads, self.dim_head),
+                             k.reshape(b, m, self.heads, self.dim_head),
+                             v.reshape(b, m, self.heads, self.dim_head),
+                             self.dim_head ** -0.5).reshape(b, n, inner)
         else:
             def split(t, length):
                 return t.reshape(b, length, self.heads, self.dim_head).transpose(0, 2, 1, 3)
@@ -86,20 +113,41 @@ class CrossAttention(nn.Module):
         return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
 
 
+def _flash_mha(q, k, v, sm_scale):
+    """Pallas TPU flash attention on [B, N, h, d] inputs -> [B, N, h, d]."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, flash_attention)
+    b, n, h, d = q.shape
+    m = k.shape[1]
+    q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+    bs = BlockSizes(
+        block_q=min(n, 128), block_k_major=min(m, 128), block_k=min(m, 128),
+        block_b=1,
+        block_q_major_dkv=min(n, 128), block_k_major_dkv=min(m, 128),
+        block_k_dkv=min(m, 128), block_q_dkv=min(n, 128),
+        block_k_major_dq=min(m, 128), block_k_dq=min(m, 128),
+        block_q_dq=min(n, 128),
+    )
+    out = flash_attention(q, k, v, sm_scale=sm_scale, block_sizes=bs)
+    return out.transpose(0, 2, 1, 3)
+
+
 class BasicTransformerBlock(nn.Module):
     dim: int
     n_heads: int
     d_head: int
     context_dim: Optional[int] = None
     dtype: Any = jnp.float32
+    attn_impl: str = "default"
 
     @nn.compact
     def __call__(self, x, context=None):
         h = nn.LayerNorm(dtype=jnp.float32)(x.astype(jnp.float32)).astype(self.dtype)
-        x = CrossAttention(self.dim, None, self.n_heads, self.d_head, self.dtype)(h) + x
+        x = CrossAttention(self.dim, None, self.n_heads, self.d_head, self.dtype,
+                           self.attn_impl)(h) + x
         h = nn.LayerNorm(dtype=jnp.float32)(x.astype(jnp.float32)).astype(self.dtype)
         x = CrossAttention(self.dim, self.context_dim, self.n_heads, self.d_head,
-                           self.dtype)(h, context=context) + x
+                           self.dtype, self.attn_impl)(h, context=context) + x
         h = nn.LayerNorm(dtype=jnp.float32)(x.astype(jnp.float32)).astype(self.dtype)
         x = FeedForward(self.dim, dtype=self.dtype)(h) + x
         return x
@@ -117,6 +165,7 @@ class SpatialTransformer(nn.Module):
     depth: int = 2
     context_dim: Optional[int] = None
     dtype: Any = jnp.float32
+    attn_impl: str = "default"
 
     @nn.compact
     def __call__(self, x, context=None):
@@ -129,6 +178,7 @@ class SpatialTransformer(nn.Module):
         for i in range(self.depth):
             h = BasicTransformerBlock(inner, self.n_heads, self.d_head,
                                       self.context_dim, self.dtype,
+                                      self.attn_impl,
                                       name=f"block_{i}")(h, context=context)
         h = nn.Dense(self.in_channels, dtype=self.dtype, name="proj_out",
                      kernel_init=nn.initializers.zeros,

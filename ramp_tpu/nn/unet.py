@@ -45,6 +45,7 @@ class TemporalUnet(nn.Module):
     depth_attn: int = 2
     context_dim: int = 320
     dtype: Any = jnp.float32
+    attn_impl: str = "default"
 
     @nn.compact
     def __call__(self, x, t, scene_latents):
@@ -66,6 +67,7 @@ class TemporalUnet(nn.Module):
             x = SpatialTransformer(dim_out, self.attention_num_heads,
                                    self.attention_dim_head, depth=self.depth_attn,
                                    context_dim=self.context_dim, dtype=self.dtype,
+                                   attn_impl=self.attn_impl,
                                    name=f"down{ind}_attn")(x, context=scene_latents)
             hs.append(x)
             if not is_last:
@@ -77,6 +79,7 @@ class TemporalUnet(nn.Module):
         x = SpatialTransformer(mid_dim, self.attention_num_heads,
                                self.attention_dim_head, depth=self.depth_attn,
                                context_dim=self.context_dim, dtype=self.dtype,
+                               attn_impl=self.attn_impl,
                                name="mid_attn")(x, context=scene_latents)
         x = ResidualTemporalBlock(mid_dim, dtype=self.dtype, name="mid_res1")(x, t_emb)
 
@@ -89,6 +92,7 @@ class TemporalUnet(nn.Module):
             x = SpatialTransformer(dim_in, self.attention_num_heads,
                                    self.attention_dim_head, depth=self.depth_attn,
                                    context_dim=self.context_dim, dtype=self.dtype,
+                                   attn_impl=self.attn_impl,
                                    name=f"up{ind}_attn")(x, context=scene_latents)
             x = Upsample1d(dim_in, dtype=self.dtype, name=f"up{ind}_upsample")(x)
 

@@ -106,6 +106,7 @@ class DynamicPlannerConfig:
     ddpm_apf_window_static: int = 10         # ref :196
     ddpm_apf_window_pred: int = 5            # ref :197
     dtype: str = "bfloat16"
+    attn_impl: str = "default"             # self-attn lowering: default|bnhd|flash
 
 
 class EpisodeResult(NamedTuple):
@@ -155,6 +156,7 @@ class DynamicPlanner:
             dim_mults=UNET_DIM_MULTS[config.unet_dim_mults_option],
             context_dim=320,
             dtype=dtype,
+            attn_impl=config.attn_impl,
         )
         self.encoder = ObstacleEncoderSet2D(dtype=dtype)
         self.schedule = make_schedule(config.variance_schedule, config.n_diffusion_steps)

@@ -42,6 +42,7 @@ class Planner3DConfig:
     use_ddim: bool = False                 # ref :296-300 (ddim=False default)
     resample_steps: int = 1                # ref :199-210 (ships disabled)
     dtype: str = "bfloat16"
+    attn_impl: str = "default"             # self-attn lowering: default|bnhd|flash
 
     @property
     def ddim_steps(self) -> int:
@@ -59,6 +60,7 @@ class Planner3D:
             dim_mults=UNET_DIM_MULTS[config.unet_dim_mults_option],
             context_dim=256,
             dtype=dtype,
+            attn_impl=config.attn_impl,
         )
         self.encoder = ObstacleEncoder3D(dtype=dtype)
         self.schedule = make_schedule(config.variance_schedule, config.n_diffusion_steps)

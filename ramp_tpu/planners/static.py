@@ -59,6 +59,7 @@ class StaticPlannerConfig:
     noise_std_extra: float = 0.5           # ref inference_static.py:143 (DDPM path)
     apf: APFParams = APFParams()           # thr=0.07, strength=0.1, window=7, 3 iters
     dtype: str = "bfloat16"
+    attn_impl: str = "default"             # self-attn lowering: default|bnhd|flash
 
     @property
     def ddim_steps(self) -> int:
@@ -78,6 +79,7 @@ class StaticPlanner:
             dim_mults=UNET_DIM_MULTS[config.unet_dim_mults_option],
             context_dim=320,
             dtype=dtype,
+            attn_impl=config.attn_impl,
         )
         self.encoder = ObstacleEncoderSet2D(dtype=dtype)
         self.schedule = make_schedule(config.variance_schedule, config.n_diffusion_steps)

@@ -80,3 +80,20 @@ def test_batch_iterator_shapes_and_reshuffle(dataset_dir):
     epoch1 = [next(it) for _ in range(2)]
     b_next_epoch = next(it)
     assert b_next_epoch["traj"].shape == (4, 32, 4)
+
+
+def test_multi_root_concat(tmp_path):
+    """Comma-separated dataset roots concatenate tasks (scene augmentation)."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    generate_dataset(a, n_tasks=2, n_trajs_per_task=3, horizon=16,
+                     points_per_obstacle=8, seed=0)
+    generate_dataset(b, n_tasks=3, n_trajs_per_task=3, horizon=16,
+                     points_per_obstacle=8, seed=1)
+    da = TrajectoryDataset(a)
+    dab = TrajectoryDataset(f"{a},{b}")
+    assert len(dab) == 5 * 3
+    assert len(dab.task_dirs) == 5
+    # first root's trajectories come first, in the same order
+    np.testing.assert_allclose(dab.trajs[:len(da)], da.trajs)
+    # normalizer fits the union -> normalized trajs stay in [-1, 1]
+    assert np.all(np.abs(dab.trajs_normalized) <= 1.0 + 1e-6)

@@ -158,3 +158,23 @@ def test_energy_and_value():
     eps, energy = make_eps_and_energy_fn(unet.apply)(params, x, t, lat)
     assert eps.shape == x.shape
     assert float(energy) > 0
+
+
+def test_attn_impl_bnhd_matches_default():
+    """The bnhd (no-head-transpose) lowering is the same math as default."""
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (2, 16, 4))
+    t = jnp.asarray([3, 7])
+    lat = jax.random.normal(key, (2, 1, 320))
+    unet_a = TemporalUnet(state_dim=4)
+    unet_b = TemporalUnet(state_dim=4, attn_impl="bnhd")
+    params = unet_a.init(key, x, t, lat)
+    out_a = unet_a.apply(params, x, t, lat)
+    out_b = unet_b.apply(params, x, t, lat)  # identical param tree
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               rtol=1e-5, atol=1e-5)
+    # and through the energy gradient (the replan hot path)
+    eps_a = make_eps_fn(unet_a.apply)(params, x, t, lat)
+    eps_b = make_eps_fn(unet_b.apply)(params, x, t, lat)
+    np.testing.assert_allclose(np.asarray(eps_a), np.asarray(eps_b),
+                               rtol=1e-4, atol=1e-5)
