@@ -43,7 +43,7 @@ python scripts/inference_static.py --dataset dataset/EnvSimple2dquant_v2 \
     > logs/eval_static_apf.out 2>&1
 log static eval hard2d compose+apf
 python scripts/inference_static.py --dataset dataset/EnvHard2dquant_v2 \
-    --checkpoints checkpoints/hard2d_v2 --max-envs 24 --n-contexts 5 \
+    --checkpoints checkpoints/hard2d_v2 --max-envs 48 --n-contexts 5 \
     --n-samples 20 --compose --use-apf \
     --results eval_results_compose.json > logs/eval_compose.out 2>&1
 log dynamic eval predator
@@ -55,6 +55,11 @@ log 3d eval
 python scripts/inference3d.py --dataset dataset/EnvSmall3D_v2 \
     --checkpoints checkpoints/planner3d_v2 --n-samples 4 \
     --results eval_results_3d.json > logs/eval_3d.out 2>&1
+log 3d compose eval
+python scripts/inference3d.py --dataset dataset/EnvSmall3D_v2 \
+    --compose-dataset dataset/EnvSmall3D_v2b \
+    --checkpoints checkpoints/planner3d_v2 --n-samples 4 \
+    --results eval_results_3d_compose.json > logs/eval_3d_compose.out 2>&1
 log bench
 python bench.py > logs/bench_post.json 2>logs/bench_post.err
 log eval campaign done
