@@ -17,7 +17,8 @@ cannot overlap), timed around ONE host fetch:
     per_replan = (t_chain(K) - t_chain(1)) / (K - 1)
 This isolates pure device time per replan from the fixed sync cost.
 
-Prints ONE JSON line:
+`measure_replan()` is the reusable harness (scripts/bench_attn_ab.py A/Bs
+attention lowerings through it); `main()` prints ONE JSON line:
   {"metric": "p50_replan_latency_64traj", "value": <ms>, "unit": "ms",
    "vs_baseline": <50.0 / value>}   (>1.0 means beating the 50 ms target)
 """
@@ -32,27 +33,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main() -> None:
+def measure_replan(config=None, n_samples: int = 64, K: int = 16,
+                   n_iters: int = 30) -> dict:
+    """Measure p50 marginal replan latency for a StaticPlanner config.
+
+    Returns {"per_replan_ms", "p50_single_ms", "p50_chain_ms", "config"}.
+    """
     from ramp_tpu.planners.static import StaticPlanner, StaticPlannerConfig
-    from ramp_tpu.utils.platform import enable_compilation_cache
-    enable_compilation_cache()
 
-    n_samples = 64
-    n_obstacles, n_points = 6, 64
-    config = StaticPlannerConfig(use_apf=True)  # APF on: the expensive path
+    config = config or StaticPlannerConfig(use_apf=True)
     planner = StaticPlanner(config)
-    params = planner.init_params(jax.random.PRNGKey(0), n_obstacles, n_points)
-
-    obstacle_pts = jax.random.uniform(
-        jax.random.PRNGKey(2), (n_obstacles, n_points, 2), minval=-0.8, maxval=0.8)
+    params = planner.init_params(jax.random.PRNGKey(0), 6, 64)
+    pts = jax.random.uniform(jax.random.PRNGKey(2), (6, 64, 2),
+                             minval=-0.8, maxval=0.8)
     start = jnp.asarray([-0.9, -0.9, 0.0, 0.0], jnp.float32)
     goal = jnp.asarray([0.9, 0.9, 0.0, 0.0], jnp.float32)
-
-    def one_plan(params, key, pts, start, goal):
-        x, _ = planner._plan(params, key, pts, start, goal,
-                             n_samples=n_samples, return_chain=False)
-        return x
-
     horizon, state_dim = config.horizon, config.state_dim
 
     @partial(jax.jit, static_argnames=("length",))
@@ -63,50 +58,57 @@ def main() -> None:
             # the scan cannot pipeline across replans
             key = jax.random.fold_in(
                 key, jnp.abs(xprev[0, 0, 0] * 1e6).astype(jnp.uint32))
-            x = one_plan(params, key, pts, start, goal)
+            x, _ = planner._plan(params, key, pts, start, goal,
+                                 n_samples=n_samples, return_chain=False)
             return (key, x), None
         init = (key, jnp.zeros((n_samples, horizon, state_dim)))
         (key, x), _ = jax.lax.scan(body, init, None, length=length)
         return x
 
-    def timed_host_fetch(length, key):
+    def timed(length, key):
         t0 = time.perf_counter()
-        x = chained(params, key, obstacle_pts, start, goal, length)
+        x = chained(params, key, pts, start, goal, length)
         _ = np.asarray(x[0:1, 0:1, 0:1])  # true host sync
         return (time.perf_counter() - t0) * 1e3
 
-    K = 16
     # compile + warmup both lengths
-    timed_host_fetch(1, jax.random.PRNGKey(1))
-    timed_host_fetch(K, jax.random.PRNGKey(1))
-
-    n_iters = 30
-    singles, chains = [], []
-    for i in range(n_iters):
-        singles.append(timed_host_fetch(1, jax.random.PRNGKey(100 + i)))
-        chains.append(timed_host_fetch(K, jax.random.PRNGKey(200 + i)))
-    singles.sort()
-    chains.sort()
+    timed(1, jax.random.PRNGKey(1))
+    timed(K, jax.random.PRNGKey(1))
+    singles = sorted(timed(1, jax.random.PRNGKey(100 + i)) for i in range(n_iters))
+    chains = sorted(timed(K, jax.random.PRNGKey(200 + i)) for i in range(n_iters))
     p50_single = singles[n_iters // 2]
     p50_chain = chains[n_iters // 2]
-    per_replan = (p50_chain - p50_single) / (K - 1)
+    per = (p50_chain - p50_single) / (K - 1)
+    return {"per_replan_ms": round(per, 3),
+            "p50_single_ms": round(p50_single, 3),
+            "p50_chain_ms": round(p50_chain, 3),
+            "n_samples": n_samples, "K": K,
+            "ddim_steps": config.ddim_steps}
 
+
+def main() -> None:
+    from ramp_tpu.utils.platform import enable_compilation_cache
+    enable_compilation_cache()
+
+    n_samples = 64
+    m = measure_replan(n_samples=n_samples)
+    per_replan = m["per_replan_ms"]
     result = {
         "metric": "p50_replan_latency_64traj",
-        "value": round(per_replan, 3),
+        "value": per_replan,
         "unit": "ms",
         "vs_baseline": round(50.0 / per_replan, 3),
         "extra": {
-            "method": f"marginal latency of a dependency-chained scan of {K} "
+            "method": f"marginal latency of a dependency-chained scan of {m['K']} "
                       "replans (single host sync); see bench.py docstring",
-            "p50_single_call_with_host_sync_ms": round(p50_single, 3),
-            "p50_chain_ms": round(p50_chain, 3),
+            "p50_single_call_with_host_sync_ms": m["p50_single_ms"],
+            "p50_chain_ms": m["p50_chain_ms"],
             "trajs_per_sec": round(n_samples / (per_replan / 1e3), 1),
             "guided_denoise_steps_per_sec": round(
-                config.ddim_steps / (per_replan / 1e3), 1),
+                m["ddim_steps"] / (per_replan / 1e3), 1),
             "device": str(jax.devices()[0]),
             "n_samples": n_samples,
-            "ddim_steps": config.ddim_steps,
+            "ddim_steps": m["ddim_steps"],
             "apf": True,
         },
     }

@@ -101,7 +101,8 @@ class TrajectoryDataset:
 
     def __init__(self, base_dir, include_velocity: bool = True,
                  static: bool = True, task_ids: Optional[List[int]] = None,
-                 normalizer: str = "LimitsNormalizer"):
+                 normalizer: str = "LimitsNormalizer",
+                 normalizer_from: Optional[str] = None):
         # `base_dir` may be one directory, a comma-separated list, or a list
         # of directories — extra roots concatenate their tasks (scene-set
         # augmentation for training; the normalizer fits the union). The
@@ -135,7 +136,8 @@ class TrajectoryDataset:
                 continue
             k = task["trajs"].shape[0]
             self.map_task_id_to_trajectories_id[len(self.task_dirs)] = n + np.arange(k)
-            self.task_dirs.append(sub)
+            # joined path keeps task identity unambiguous across multiple roots
+            self.task_dirs.append(os.path.join(root, sub))
             trajs_l.append(task["trajs"])
             obs_l.append(np.broadcast_to(task["obstacle_points"][None],
                                          (k,) + task["obstacle_points"].shape))
@@ -159,7 +161,17 @@ class TrajectoryDataset:
         self.metadata = metadata
         self.n_trajs, self.horizon, self.state_dim = trajs.shape
 
-        self.normalizer = LimitsNormalizer.fit(trajs)
+        if normalizer_from is not None:
+            # Fit normalization limits on a REFERENCE dataset root instead of
+            # this dataset's union — keeps the training/eval normalization
+            # spaces identical when training data is augmented with extra
+            # scene roots while evaluation stays on the original root.
+            ref = TrajectoryDataset(normalizer_from,
+                                    include_velocity=include_velocity,
+                                    static=static)
+            self.normalizer = ref.normalizer
+        else:
+            self.normalizer = LimitsNormalizer.fit(trajs)
         self.trajs_normalized = np.asarray(self.normalizer.normalize(trajs))
         pos_dim = self.state_dim // 2 if include_velocity else self.state_dim
         # task field = (start_pos, goal_pos) concat (ref trajectories.py:186)

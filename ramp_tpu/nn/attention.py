@@ -54,8 +54,13 @@ class CrossAttention(nn.Module):
         head) as dot batch dims, letting XLA fold the head split into the
         matmul instead of materializing layout copies (the profiler shows
         ~12% of replan time in [B,4,64,64] relayout copies on TPU).
-      * "flash":   fused Pallas TPU flash-attention kernel (fwd+bwd custom
-        vjp), no materialized attention matrix.
+
+    An A/B on the real chip (logs/attn_ab.json) measured 19.48 ms (bnhd) vs
+    19.52 ms (default) per 64-traj replan — XLA already hides the relayouts,
+    so "default" stays the default. A Pallas flash-attention variant was
+    evaluated and rejected: the U-Net's self-attention runs at sequence
+    lengths 64/32/16/8, below the TPU flash kernel's 128-lane minimum block,
+    so it cannot lower for this model.
     """
     query_dim: int
     context_dim: Optional[int] = None
@@ -94,12 +99,10 @@ class CrossAttention(nn.Module):
             out = jnp.einsum("bhij,bjhd->bihd", attn, v,
                              preferred_element_type=jnp.float32).astype(self.dtype)
             out = out.reshape(b, n, inner)
-        elif self.attn_impl == "flash":
-            out = _flash_mha(q.reshape(b, n, self.heads, self.dim_head),
-                             k.reshape(b, m, self.heads, self.dim_head),
-                             v.reshape(b, m, self.heads, self.dim_head),
-                             self.dim_head ** -0.5).reshape(b, n, inner)
         else:
+            if self.attn_impl not in ("default", "bnhd"):
+                raise ValueError(f"unknown attn_impl {self.attn_impl!r} "
+                                 "(expected 'default' or 'bnhd')")
             def split(t, length):
                 return t.reshape(b, length, self.heads, self.dim_head).transpose(0, 2, 1, 3)
 
@@ -111,25 +114,6 @@ class CrossAttention(nn.Module):
                              preferred_element_type=jnp.float32).astype(self.dtype)
             out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
         return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
-
-
-def _flash_mha(q, k, v, sm_scale):
-    """Pallas TPU flash attention on [B, N, h, d] inputs -> [B, N, h, d]."""
-    from jax.experimental.pallas.ops.tpu.flash_attention import (
-        BlockSizes, flash_attention)
-    b, n, h, d = q.shape
-    m = k.shape[1]
-    q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
-    bs = BlockSizes(
-        block_q=min(n, 128), block_k_major=min(m, 128), block_k=min(m, 128),
-        block_b=1,
-        block_q_major_dkv=min(n, 128), block_k_major_dkv=min(m, 128),
-        block_k_dkv=min(m, 128), block_q_dkv=min(n, 128),
-        block_k_major_dq=min(m, 128), block_k_dq=min(m, 128),
-        block_q_dq=min(n, 128),
-    )
-    out = flash_attention(q, k, v, sm_scale=sm_scale, block_sizes=bs)
-    return out.transpose(0, 2, 1, 3)
 
 
 class BasicTransformerBlock(nn.Module):

@@ -106,7 +106,7 @@ class DynamicPlannerConfig:
     ddpm_apf_window_static: int = 10         # ref :196
     ddpm_apf_window_pred: int = 5            # ref :197
     dtype: str = "bfloat16"
-    attn_impl: str = "default"             # self-attn lowering: default|bnhd|flash
+    attn_impl: str = "default"             # self-attn lowering: default or bnhd
 
 
 class EpisodeResult(NamedTuple):

@@ -42,7 +42,7 @@ class Planner3DConfig:
     use_ddim: bool = False                 # ref :296-300 (ddim=False default)
     resample_steps: int = 1                # ref :199-210 (ships disabled)
     dtype: str = "bfloat16"
-    attn_impl: str = "default"             # self-attn lowering: default|bnhd|flash
+    attn_impl: str = "default"             # self-attn lowering: default or bnhd
 
     @property
     def ddim_steps(self) -> int:

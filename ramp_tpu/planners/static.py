@@ -59,7 +59,7 @@ class StaticPlannerConfig:
     noise_std_extra: float = 0.5           # ref inference_static.py:143 (DDPM path)
     apf: APFParams = APFParams()           # thr=0.07, strength=0.1, window=7, 3 iters
     dtype: str = "bfloat16"
-    attn_impl: str = "default"             # self-attn lowering: default|bnhd|flash
+    attn_impl: str = "default"             # self-attn lowering: default or bnhd
 
     @property
     def ddim_steps(self) -> int:

@@ -41,12 +41,27 @@ P0=$!
 python scripts/train.py "${common[@]}" --process-id 1 \
     --log-file "$OUT/p1.jsonl" > "$OUT/p1.out" 2>&1 &
 P1=$!
-wait $P0; wait $P1
+s0=0; s1=0
+wait $P0 || s0=$?
+wait $P1 || s1=$?
 
-echo "--- process 0 losses"; cat "$OUT/p0.jsonl"
-echo "--- process 1 losses"; cat "$OUT/p1.jsonl"
-if diff <(cut -d, -f1,4- "$OUT/p0.jsonl") <(cut -d, -f1,4- "$OUT/p1.jsonl") \
-    > /dev/null; then
+echo "--- process 0 losses"; cat "$OUT/p0.jsonl" || true
+echo "--- process 1 losses"; cat "$OUT/p1.jsonl" || true
+if [ "$s0" -ne 0 ] || [ "$s1" -ne 0 ]; then
+  echo "FAIL: process exit codes p0=$s0 p1=$s1 (see $OUT/p*.out)" >&2
+  exit 1
+fi
+# compare every per-step metric except the host-local wall time
+if python - "$OUT/p0.jsonl" "$OUT/p1.jsonl" <<'EOF'
+import json, sys
+rows = []
+for path in sys.argv[1:3]:
+    with open(path) as f:
+        rows.append([{k: v for k, v in json.loads(l).items()
+                      if k != "time_per_step"} for l in f])
+sys.exit(0 if rows[0] and rows[0] == rows[1] else 1)
+EOF
+then
   echo "OK: global losses identical across both processes"
 else
   echo "FAIL: losses diverge between processes" >&2

@@ -26,6 +26,10 @@ python scripts/export_weights.py --checkpoints checkpoints/predator_v2 \
 python scripts/export_weights.py --checkpoints checkpoints/planner3d_v2 --threed \
     --dataset dataset/EnvSmall3D_v2 --out artifacts/weights/planner3d_v2.npz
 
+for w in artifacts/weights/simple2d_v2.npz; do
+  [ -f "$w" ] || { echo "FATAL: $w missing (session2_campaign export did not run)" >&2; exit 1; }
+done
+
 log static eval simple2d plain - 300k v2-only weights
 python scripts/inference_static.py --dataset dataset/EnvSimple2dquant_v2 \
     --checkpoints artifacts/weights/simple2d_v2.npz --n-contexts 10 \

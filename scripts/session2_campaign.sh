@@ -41,7 +41,10 @@ run planner3d_v2 --dataset dataset/EnvSmall3D_v2 --threed \
     --checkpoints checkpoints/planner3d_v2 --steps 80000 --batch-size 64
 
 log combined-data static run v2+v2b
+# --normalizer-dataset keeps the combined run in the v2 normalization space
+# so the 300k-vs-400k eval A/B (and the resumed checkpoint) stay comparable
 run simple2d_v2ab --dataset dataset/EnvSimple2dquant_v2,dataset/EnvSimple2dquant_v2b \
+    --normalizer-dataset dataset/EnvSimple2dquant_v2 \
     --checkpoints checkpoints/simple2d_v2 --steps 400000 --batch-size 128
 
 log session2 campaign done

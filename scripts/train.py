@@ -44,6 +44,11 @@ def main():
                    help="UNET_DIM_MULTS key (ref UnetInference.py:13)")
     p.add_argument("--log-file", default=None)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--normalizer-dataset", default=None,
+                   help="fit the trajectory normalizer on this dataset root "
+                        "instead of the (possibly multi-root) training set — "
+                        "keeps train/eval normalization spaces identical when "
+                        "augmenting training data with extra scene roots")
     p.add_argument("--host-pipeline", action="store_true",
                    help="stream batches from the host instead of the "
                         "device-resident multi-step path")
@@ -65,7 +70,8 @@ def main():
     mesh = make_mesh()
     n_dev = mesh.devices.size
 
-    dataset = TrajectoryDataset(args.dataset, include_velocity=True)
+    dataset = TrajectoryDataset(args.dataset, include_velocity=True,
+                                normalizer_from=args.normalizer_dataset)
     horizon = args.horizon or dataset.horizon
 
     if args.threed:

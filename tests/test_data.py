@@ -97,3 +97,17 @@ def test_multi_root_concat(tmp_path):
     np.testing.assert_allclose(dab.trajs[:len(da)], da.trajs)
     # normalizer fits the union -> normalized trajs stay in [-1, 1]
     assert np.all(np.abs(dab.trajs_normalized) <= 1.0 + 1e-6)
+
+
+def test_normalizer_from_reference_root(tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    generate_dataset(a, n_tasks=2, n_trajs_per_task=3, horizon=16,
+                     points_per_obstacle=8, seed=0)
+    generate_dataset(b, n_tasks=2, n_trajs_per_task=3, horizon=16,
+                     points_per_obstacle=8, seed=1)
+    da = TrajectoryDataset(a)
+    dab = TrajectoryDataset(f"{a},{b}", normalizer_from=a)
+    np.testing.assert_allclose(dab.normalizer.mins, da.normalizer.mins)
+    np.testing.assert_allclose(dab.normalizer.maxs, da.normalizer.maxs)
+    # multi-root task identity is unambiguous
+    assert len(set(dab.task_dirs)) == len(dab.task_dirs)
