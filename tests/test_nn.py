@@ -178,3 +178,12 @@ def test_attn_impl_bnhd_matches_default():
     eps_b = make_eps_fn(unet_b.apply)(params, x, t, lat)
     np.testing.assert_allclose(np.asarray(eps_a), np.asarray(eps_b),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_attn_impl_unknown_raises():
+    st = SpatialTransformer(in_channels=8, n_heads=2, d_head=4,
+                            context_dim=320, attn_impl="nope")
+    x = jnp.zeros((1, 8, 8))
+    lat = jnp.zeros((1, 1, 320))
+    with pytest.raises(ValueError, match="attn_impl"):
+        st.init(jax.random.PRNGKey(0), x, context=lat)
