@@ -133,7 +133,7 @@ class StaticPlanner:
                 apf_points=apf_points,
                 return_chain=return_chain)
         else:
-            ddpm_apf = dataclasses.replace(cfg.apf, apply_from_step=20, window=5) \
+            ddpm_apf = cfg.apf._replace(apply_from_step=20, window=5) \
                 if cfg.use_apf else None
             x, chain = ddpm_sample_chain(
                 self.schedule, self._eps_fn, params["unet"], key, shape,

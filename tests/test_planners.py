@@ -29,6 +29,29 @@ def test_static_planner_compose_mode():
     assert np.isfinite(np.asarray(x)).all()
 
 
+def test_static_planner_ddpm_with_apf():
+    """DDPM ancestral path + APF (ref p_sample_loop w/ APF constants
+    apply_from_step=20, window=5). Regression: the APFParams override used
+    dataclasses.replace on a NamedTuple and raised TypeError at trace time."""
+    cfg = StaticPlannerConfig(horizon=16, n_diffusion_steps=10,
+                              unet_input_dim=8, unet_dim_mults_option=0,
+                              use_ddim=False, use_apf=True,
+                              n_diffusion_steps_without_noise=2,
+                              dtype="float32")
+    p = StaticPlanner(cfg)
+    params = p.init_params(jax.random.PRNGKey(0), n_obstacles=4, n_points=8)
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (4, 8, 2),
+                             minval=-0.8, maxval=0.8)
+    start = jnp.asarray([-0.8, -0.8, 0.0, 0.0])
+    goal = jnp.asarray([0.8, 0.8, 0.0, 0.0])
+    x, chain = p.plan(params, jax.random.PRNGKey(2), pts, start, goal,
+                      n_samples=2)
+    assert x.shape == (2, 16, 4)
+    np.testing.assert_allclose(np.asarray(x[:, -1]), np.tile(goal, (2, 1)),
+                               atol=1e-5)
+    assert np.isfinite(np.asarray(x)).all()
+
+
 def test_planner3d_shapes_and_pinning():
     cfg = Planner3DConfig(horizon=16, n_diffusion_steps=8, unet_input_dim=8,
                           unet_dim_mults_option=0, dtype="float32")
