@@ -32,22 +32,22 @@ done
 
 log static eval simple2d plain - 300k v2-only weights
 python scripts/inference_static.py --dataset dataset/EnvSimple2dquant_v2 \
-    --checkpoints artifacts/weights/simple2d_v2.npz --n-contexts 10 \
+    --checkpoints artifacts/weights/simple2d_v2.npz --n-contexts 20 \
     --n-samples 20 --results eval_results_static_300k.json \
     > logs/eval_static_300k.out 2>&1
 log static eval simple2d plain - combined v2+v2b weights
 python scripts/inference_static.py --dataset dataset/EnvSimple2dquant_v2 \
-    --checkpoints artifacts/weights/simple2d_v2ab.npz --n-contexts 10 \
+    --checkpoints artifacts/weights/simple2d_v2ab.npz --n-contexts 20 \
     --n-samples 20 --results eval_results_static_400k.json \
     --plots-dir plots_eval > logs/eval_static_400k.out 2>&1
 log static eval simple2d apf - combined weights
 python scripts/inference_static.py --dataset dataset/EnvSimple2dquant_v2 \
-    --checkpoints artifacts/weights/simple2d_v2ab.npz --n-contexts 10 \
+    --checkpoints artifacts/weights/simple2d_v2ab.npz --n-contexts 20 \
     --n-samples 20 --use-apf --results eval_results_static_apf.json \
     > logs/eval_static_apf.out 2>&1
 log static eval hard2d compose+apf
 python scripts/inference_static.py --dataset dataset/EnvHard2dquant_v2 \
-    --checkpoints checkpoints/hard2d_v2 --max-envs 48 --n-contexts 5 \
+    --checkpoints checkpoints/hard2d_v2 --max-envs 48 --n-contexts 10 \
     --n-samples 20 --compose --use-apf \
     --results eval_results_compose.json > logs/eval_compose.out 2>&1
 log dynamic eval predator
