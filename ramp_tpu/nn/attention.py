@@ -29,7 +29,7 @@ class GEGLU(nn.Module):
     def __call__(self, x):
         x = nn.Dense(self.dim_out * 2, dtype=self.dtype)(x)
         x, gate = jnp.split(x, 2, axis=-1)
-        return x * nn.gelu(gate)
+        return x * nn.gelu(gate, approximate=False)
 
 
 class FeedForward(nn.Module):
@@ -126,13 +126,13 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None):
-        h = nn.LayerNorm(dtype=jnp.float32)(x.astype(jnp.float32)).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(x.astype(jnp.float32)).astype(self.dtype)
         x = CrossAttention(self.dim, None, self.n_heads, self.d_head, self.dtype,
                            self.attn_impl)(h) + x
-        h = nn.LayerNorm(dtype=jnp.float32)(x.astype(jnp.float32)).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(x.astype(jnp.float32)).astype(self.dtype)
         x = CrossAttention(self.dim, self.context_dim, self.n_heads, self.d_head,
                            self.dtype, self.attn_impl)(h, context=context) + x
-        h = nn.LayerNorm(dtype=jnp.float32)(x.astype(jnp.float32)).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(x.astype(jnp.float32)).astype(self.dtype)
         x = FeedForward(self.dim, dtype=self.dtype)(h) + x
         return x
 

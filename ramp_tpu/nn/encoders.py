@@ -89,11 +89,11 @@ class SetTransformerBlock2D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.LayerNorm(dtype=jnp.float32)(x.astype(jnp.float32)).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(x.astype(jnp.float32)).astype(self.dtype)
         x = x + MultiheadSelfAttention(self.dim, self.num_heads, dtype=self.dtype)(h)
-        h = nn.LayerNorm(dtype=jnp.float32)(x.astype(jnp.float32)).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(x.astype(jnp.float32)).astype(self.dtype)
         h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype)(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.dim, dtype=self.dtype)(h)
         return x + h
 
@@ -118,8 +118,8 @@ class ObstacleEncoderSet2D(nn.Module):
             x.astype(jnp.float32), self.hidden_dim)
 
         pt = nn.Dense(self.hidden_dim, dtype=self.dtype)(x.astype(self.dtype))
-        pt = nn.LayerNorm(dtype=jnp.float32)(pt.astype(jnp.float32)).astype(self.dtype)
-        pt = nn.gelu(pt)  # [B, O, P, hid]
+        pt = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(pt.astype(jnp.float32)).astype(self.dtype)
+        pt = nn.gelu(pt, approximate=False)  # [B, O, P, hid]
 
         combined = jnp.concatenate([
             pt,
@@ -127,8 +127,8 @@ class ObstacleEncoderSet2D(nn.Module):
             pe_relative.astype(self.dtype),
         ], axis=-1)
         combined = nn.Dense(self.hidden_dim, dtype=self.dtype)(combined)
-        combined = nn.LayerNorm(dtype=jnp.float32)(combined.astype(jnp.float32)).astype(self.dtype)
-        combined = nn.gelu(combined)
+        combined = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(combined.astype(jnp.float32)).astype(self.dtype)
+        combined = nn.gelu(combined, approximate=False)
         tokens = combined.reshape(b, o * p, self.hidden_dim)
 
         outputs = []
@@ -139,7 +139,7 @@ class ObstacleEncoderSet2D(nn.Module):
                                           name=f"stack{dim}_block{i}")(h)
             pooled = h.mean(axis=1)
             pooled = nn.Dense(dim, dtype=self.dtype, name=f"pool{dim}_0")(pooled)
-            pooled = nn.gelu(pooled)
+            pooled = nn.gelu(pooled, approximate=False)
             pooled = nn.Dense(dim, dtype=self.dtype, name=f"pool{dim}_1")(pooled)
             outputs.append(pooled)
         latent = jnp.concatenate(outputs, axis=-1)  # [B, 320]
@@ -154,10 +154,10 @@ class PointProcessor3D(nn.Module):
     @nn.compact
     def __call__(self, x):  # [N, P, 3]
         h = nn.Dense(64, dtype=self.dtype)(x)
-        h = nn.LayerNorm(dtype=jnp.float32)(h.astype(jnp.float32)).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(h.astype(jnp.float32)).astype(self.dtype)
         h = nn.selu(h)
         h = nn.Dense(self.output_dim, dtype=self.dtype)(h)
-        h = nn.LayerNorm(dtype=jnp.float32)(h.astype(jnp.float32)).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(h.astype(jnp.float32)).astype(self.dtype)
         h = nn.selu(h)
         return h.max(axis=-2)  # [N, output_dim]
 
@@ -170,11 +170,11 @@ class SetTransformerBlock3D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.LayerNorm(dtype=jnp.float32)(x.astype(jnp.float32)).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(x.astype(jnp.float32)).astype(self.dtype)
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, dtype=self.dtype, deterministic=True)(h, h)
         x = x + attn
-        h = nn.LayerNorm(dtype=jnp.float32)(x.astype(jnp.float32)).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(x.astype(jnp.float32)).astype(self.dtype)
         h = nn.Dense(self.dim * 2, dtype=self.dtype)(h)
         h = nn.selu(h)
         h = nn.Dense(self.dim, dtype=self.dtype)(h)

@@ -1,0 +1,157 @@
+"""Numerical cross-check: reference torch modules vs RAMP-TPU flax rebuilds.
+
+Loads the REFERENCE's own `TemporalUnetInference` / `ObstacleEncoderSet`
+(imported from /root/reference, never copied), converts their randomly
+initialized state_dicts through `ramp_tpu.utils.torch_import`, and asserts
+our modules reproduce the torch forward pass to float32 tolerance. This is
+the strongest architecture-parity evidence: same weights -> same outputs,
+and it validates the GPU-checkpoint import path end to end.
+"""
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/reference")
+torch = pytest.importorskip("torch")
+
+from ramp_tpu.nn.encoders import ObstacleEncoderSet2D
+from ramp_tpu.nn.unet import TemporalUnet
+from ramp_tpu.sampler.energy import make_eps_fn
+from ramp_tpu.utils.torch_import import (
+    convert_encoder2d_state_dict, convert_unet_state_dict,
+    split_reference_state_dict,
+)
+
+DIM_MULTS = (1, 2, 4)
+HORIZON, STATE_DIM = 16, 4
+
+
+def _tiny_torch_unet():
+    from mpd.models.diffusion_models.UnetInference import TemporalUnetInference
+    torch.manual_seed(0)
+    m = TemporalUnetInference(state_dim=STATE_DIM, n_support_points=HORIZON,
+                              unet_input_dim=8, dim_mults=DIM_MULTS,
+                              attention_dim_head=8)
+    m.eval()
+    with torch.no_grad():
+        for n, p in m.named_parameters():
+            if "proj_out" in n:  # zero-initialized (zero_module) — randomize
+                p.normal_(0, 0.05)  # so the attention path actually matters
+    for p in m.parameters():
+        p.requires_grad_(False)
+    return m
+
+
+def _tiny_flax_unet():
+    return TemporalUnet(state_dim=STATE_DIM, unet_input_dim=8,
+                        dim_mults=DIM_MULTS, attention_dim_head=8)
+
+
+def _assert_tree_shapes_match(converted, template, path=""):
+    assert set(converted.keys()) == set(template.keys()), (
+        f"{path}: {sorted(converted.keys())} vs {sorted(template.keys())}")
+    for k in template:
+        if isinstance(template[k], dict):
+            _assert_tree_shapes_match(converted[k], template[k], f"{path}/{k}")
+        else:
+            assert converted[k].shape == template[k].shape, (
+                f"{path}/{k}: {converted[k].shape} vs {template[k].shape}")
+
+
+def test_unet_forward_matches_reference():
+    """Converted reference weights reproduce forward_no_energy exactly."""
+    m = _tiny_torch_unet()
+    sd = {k: v.numpy() for k, v in m.state_dict().items()
+          if not k.startswith("scene_encoder.")}
+    params = convert_unet_state_dict(sd, n_resolutions=len(DIM_MULTS))
+
+    unet = _tiny_flax_unet()
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, HORIZON, STATE_DIM).astype(np.float32)
+    t = np.asarray([7, 3], np.int64)
+    latents = rng.randn(2, 320).astype(np.float32)
+
+    template = unet.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                         jnp.asarray(t), jnp.asarray(latents)[:, None, :])
+    _assert_tree_shapes_match(params["params"], template["params"])
+
+    # torch side: bypass the scene encoder; forward_no_energy then applies
+    # the cfg_batch mask (odd rows zeroed, UnetInference.py:193-195)
+    lat_t = torch.from_numpy(latents.copy())
+    m.cache_scene_encoding = lambda pts: lat_t
+    ref = m.forward_no_energy(torch.from_numpy(x.copy()),
+                              torch.from_numpy(t), obstacle_pts=lat_t).numpy()
+
+    masked = latents.copy()
+    masked[1::2] = 0.0
+    out = unet.apply(params, jnp.asarray(x), jnp.asarray(t),
+                     jnp.asarray(masked)[:, None, :])
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-5)
+
+
+def test_energy_eps_matches_reference_autograd():
+    """eps = grad_x 0.5||f||^2: jax.grad vs the reference's torch.autograd
+    (EnergyGradFunction, UnetInference.py:19-37) on identical weights."""
+    m = _tiny_torch_unet()
+    sd = {k: v.numpy() for k, v in m.state_dict().items()
+          if not k.startswith("scene_encoder.")}
+    params = convert_unet_state_dict(sd, n_resolutions=len(DIM_MULTS))
+    unet = _tiny_flax_unet()
+
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, HORIZON, STATE_DIM).astype(np.float32)
+    t = np.asarray([5, 9], np.int64)
+    latents = rng.randn(2, 320).astype(np.float32)
+    lat_t = torch.from_numpy(latents.copy())
+    m.cache_scene_encoding = lambda pts: lat_t
+
+    x_t = torch.from_numpy(x.copy()).requires_grad_(True)
+    with torch.enable_grad():
+        f = m.forward_no_energy(x_t, torch.from_numpy(t), obstacle_pts=lat_t)
+        energy = 0.5 * (f ** 2).sum()
+        eps_ref = torch.autograd.grad(energy, x_t)[0].numpy()
+
+    masked = latents.copy()
+    masked[1::2] = 0.0
+    eps_fn = make_eps_fn(
+        lambda p, xx, tt, ll: unet.apply(p, xx, tt, ll), energy_mode=True)
+    eps = eps_fn(params, jnp.asarray(x), jnp.asarray(t),
+                 jnp.asarray(masked)[:, None, :])
+    np.testing.assert_allclose(np.asarray(eps), eps_ref, rtol=5e-4, atol=5e-5)
+
+
+def test_encoder2d_matches_reference():
+    """Converted ObstacleEncoderSet weights reproduce the 320-d scene latent."""
+    from mpd.models.diffusion_models.obstacle_encoder import ObstacleEncoderSet
+    torch.manual_seed(3)
+    enc_t = ObstacleEncoderSet()
+    enc_t.eval()
+    for p in enc_t.parameters():
+        p.requires_grad_(False)
+    sd = {k: v.numpy() for k, v in enc_t.state_dict().items()}
+    params = convert_encoder2d_state_dict(sd)
+
+    enc = ObstacleEncoderSet2D()
+    rng = np.random.RandomState(4)
+    pts = (rng.rand(2, 6, 64, 2) * 1.6 - 0.8).astype(np.float32)
+
+    template = enc.init(jax.random.PRNGKey(0), jnp.asarray(pts))
+    _assert_tree_shapes_match(params["params"], template["params"])
+
+    ref = enc_t(torch.from_numpy(pts.copy())).numpy()  # [B, 320]
+    out = np.asarray(enc.apply(params, jnp.asarray(pts)))[:, 0, :]
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_split_reference_state_dict_routes_keys():
+    sd = {
+        "model.downs.0.0.cond_mlp.1.weight": np.zeros((8, 32), np.float32),
+        "model.scene_encoder.point_embedding.0.weight": np.zeros((64, 2), np.float32),
+        "model.betas": np.zeros((100,), np.float32),  # schedule buffer: dropped
+    }
+    unet_sd, enc_sd = split_reference_state_dict(sd)
+    assert list(unet_sd) == ["downs.0.0.cond_mlp.1.weight"]
+    assert list(enc_sd) == ["point_embedding.0.weight"]
