@@ -62,6 +62,20 @@ def load_planner_params(planner, checkpoint_dir: Optional[str], n_obstacles: int
     from ramp_tpu.train.state import TrainConfig, create_train_state
 
     params = planner.init_params(jax.random.PRNGKey(seed), n_obstacles, n_points)
+    if checkpoint_dir and checkpoint_dir.endswith(".pth") and os.path.isfile(checkpoint_dir):
+        # a reference (PyTorch) checkpoint — convert it in place so reference
+        # users can point --checkpoints at their GPU-trained state_dicts
+        from ramp_tpu.utils.torch_import import import_reference_checkpoint
+        restored = import_reference_checkpoint(
+            checkpoint_dir, n_resolutions=len(planner.unet.dim_mults))
+        ref_shapes = jax.tree_util.tree_map(lambda a: a.shape, restored)
+        our_shapes = jax.tree_util.tree_map(lambda a: a.shape, params)
+        if ref_shapes != our_shapes:
+            raise ValueError(
+                f"{checkpoint_dir} does not match this planner's architecture "
+                "(check --unet-dim / --dim-mults-option / encoder sizes)")
+        print(f"imported reference torch checkpoint {checkpoint_dir}")
+        return restored
     if checkpoint_dir and checkpoint_dir.endswith(".npz") and os.path.isfile(checkpoint_dir):
         restored = load_params_npz(checkpoint_dir, params)
         print(f"loaded weights from {checkpoint_dir}")

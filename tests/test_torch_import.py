@@ -146,6 +146,36 @@ def test_encoder2d_matches_reference():
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
 
 
+def test_pth_checkpoint_loads_into_planner(tmp_path):
+    """End-to-end: a reference-format .pth (DDP full dict, keys model.* +
+    schedule buffers, trainerddp/trainer.py:34-45) loads via
+    load_planner_params and produces finite plans."""
+    from ramp_tpu.planners.static import StaticPlanner, StaticPlannerConfig
+    from ramp_tpu.utils.checkpoints import load_planner_params
+
+    # StaticPlanner's U-Net uses the reference default attention_dim_head=64,
+    # so build the torch twin at that width (still tiny channel dims)
+    from mpd.models.diffusion_models.UnetInference import TemporalUnetInference
+    torch.manual_seed(0)
+    m = TemporalUnetInference(state_dim=STATE_DIM, n_support_points=HORIZON,
+                              unet_input_dim=8, dim_mults=DIM_MULTS)
+    m.eval()  # includes the full default scene_encoder
+    ref_sd = {f"model.{k}": v for k, v in m.state_dict().items()}
+    ref_sd["betas"] = torch.zeros(10)  # schedule buffer: must be ignored
+    path = str(tmp_path / "ema_model_current_state_dict.pth")
+    torch.save({"model": ref_sd, "step": 123}, path)
+
+    cfg = StaticPlannerConfig(horizon=HORIZON, n_diffusion_steps=10,
+                              unet_input_dim=8, unet_dim_mults_option=0,
+                              dtype="float32")
+    planner = StaticPlanner(cfg)
+    params = load_planner_params(planner, path, n_obstacles=6, n_points=64)
+    x, _ = planner.plan(params, jax.random.PRNGKey(0),
+                        jnp.zeros((6, 64, 2)), jnp.zeros(4), jnp.ones(4),
+                        n_samples=2)
+    assert np.isfinite(np.asarray(x)).all()
+
+
 def test_split_reference_state_dict_routes_keys():
     sd = {
         "model.downs.0.0.cond_mlp.1.weight": np.zeros((8, 32), np.float32),
