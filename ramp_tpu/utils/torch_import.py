@@ -205,6 +205,123 @@ def split_reference_state_dict(sd: SD) -> Tuple[Dict[str, Array], Dict[str, Arra
     return unet, enc
 
 
+def _inv_linear(params: Mapping, prefix: str, out: Dict[str, Array],
+                bias: bool = True) -> None:
+    out[f"{prefix}.weight"] = np.asarray(params["kernel"]).T
+    if bias:
+        out[f"{prefix}.bias"] = np.asarray(params["bias"])
+
+
+def _inv_conv1d(params: Mapping, prefix: str, out: Dict[str, Array]) -> None:
+    out[f"{prefix}.weight"] = np.asarray(params["kernel"]).transpose(2, 1, 0)
+    out[f"{prefix}.bias"] = np.asarray(params["bias"])
+
+
+def _inv_conv1x1(params: Mapping, prefix: str, out: Dict[str, Array]) -> None:
+    out[f"{prefix}.weight"] = np.asarray(params["kernel"]).T[:, :, None]
+    out[f"{prefix}.bias"] = np.asarray(params["bias"])
+
+
+def _inv_norm(params: Mapping, prefix: str, out: Dict[str, Array]) -> None:
+    out[f"{prefix}.weight"] = np.asarray(params["scale"])
+    out[f"{prefix}.bias"] = np.asarray(params["bias"])
+
+
+def _inv_rtb(params: Mapping, p: str, out: Dict[str, Array]) -> None:
+    _inv_conv1d(params["Conv1dBlock_0"]["Conv_0"], f"{p}.blocks.0.block.0", out)
+    _inv_norm(params["Conv1dBlock_0"]["GroupNorm_0"], f"{p}.blocks.0.block.2", out)
+    _inv_conv1d(params["Conv1dBlock_1"]["Conv_0"], f"{p}.blocks.1.block.0", out)
+    _inv_norm(params["Conv1dBlock_1"]["GroupNorm_0"], f"{p}.blocks.1.block.2", out)
+    _inv_linear(params["Dense_0"], f"{p}.cond_mlp.1", out)
+    if "Conv_0" in params:
+        _inv_conv1d(params["Conv_0"], f"{p}.residual_conv", out)
+
+
+def _inv_spatial_transformer(params: Mapping, p: str, out: Dict[str, Array],
+                             depth: int = 2) -> None:
+    _inv_norm(params["GroupNorm_0"], f"{p}.norm", out)
+    _inv_conv1x1(params["proj_in"], f"{p}.proj_in", out)
+    _inv_conv1x1(params["proj_out"], f"{p}.proj_out", out)
+    for d in range(depth):
+        blk, b = params[f"block_{d}"], f"{p}.transformer_blocks.{d}"
+        _inv_norm(blk["LayerNorm_0"], f"{b}.norm1", out)
+        _inv_norm(blk["LayerNorm_1"], f"{b}.norm2", out)
+        _inv_norm(blk["LayerNorm_2"], f"{b}.norm3", out)
+        for attn, name in ((blk["CrossAttention_0"], "attn1"),
+                           (blk["CrossAttention_1"], "attn2")):
+            _inv_linear(attn["to_q"], f"{b}.{name}.to_q", out, bias=False)
+            _inv_linear(attn["to_k"], f"{b}.{name}.to_k", out, bias=False)
+            _inv_linear(attn["to_v"], f"{b}.{name}.to_v", out, bias=False)
+            _inv_linear(attn["to_out"], f"{b}.{name}.to_out.0", out)
+        ff = blk["FeedForward_0"]
+        _inv_linear(ff["GEGLU_0"]["Dense_0"], f"{b}.ff.net.0.proj", out)
+        _inv_linear(ff["Dense_0"], f"{b}.ff.net.2", out)
+
+
+def export_unet_state_dict(variables: Mapping, n_resolutions: int,
+                           depth_attn: int = 2) -> Dict[str, Array]:
+    """Inverse of `convert_unet_state_dict`: flax variables -> torch-layout
+    state_dict (numpy values) loadable by the reference's
+    `TemporalUnetInference.load_state_dict` (strict=False for the scene
+    encoder, or merge with `export_encoder2d_state_dict`)."""
+    params = variables["params"] if "params" in variables else variables
+    out: Dict[str, Array] = {}
+    _inv_linear(params["TimeEncoder_0"]["Dense_0"], "time_mlp.encoder.1", out)
+    _inv_linear(params["TimeEncoder_0"]["Dense_1"], "time_mlp.encoder.3", out)
+    _inv_rtb(params["mid_res0"], "mid_block1", out)
+    _inv_spatial_transformer(params["mid_attn"], "mid_attention", out, depth_attn)
+    _inv_rtb(params["mid_res1"], "mid_block2", out)
+    for i in range(n_resolutions):
+        _inv_rtb(params[f"down{i}_res0"], f"downs.{i}.0", out)
+        _inv_rtb(params[f"down{i}_res1"], f"downs.{i}.1", out)
+        _inv_spatial_transformer(params[f"down{i}_attn"], f"downs.{i}.3",
+                                 out, depth_attn)
+        if f"down{i}_downsample" in params:
+            _inv_conv1d(params[f"down{i}_downsample"]["Conv_0"],
+                        f"downs.{i}.4.conv", out)
+    for i in range(n_resolutions - 1):
+        _inv_rtb(params[f"up{i}_res0"], f"ups.{i}.0", out)
+        _inv_rtb(params[f"up{i}_res1"], f"ups.{i}.1", out)
+        _inv_spatial_transformer(params[f"up{i}_attn"], f"ups.{i}.3",
+                                 out, depth_attn)
+        # torch ConvTranspose1d [in, out, k] <- flax [k, out, in]
+        w = np.asarray(params[f"up{i}_upsample"]["ConvTranspose_0"]["kernel"])
+        out[f"ups.{i}.4.conv.weight"] = w.transpose(2, 1, 0)
+        out[f"ups.{i}.4.conv.bias"] = np.asarray(
+            params[f"up{i}_upsample"]["ConvTranspose_0"]["bias"])
+    _inv_conv1d(params["final_block"]["Conv_0"], "final_conv.0.block.0", out)
+    _inv_norm(params["final_block"]["GroupNorm_0"], "final_conv.0.block.2", out)
+    _inv_conv1x1(params["final_proj"], "final_conv.1", out)
+    return out
+
+
+def export_encoder2d_state_dict(variables: Mapping,
+                                output_dims=(64, 96, 160),
+                                num_blocks: int = 3) -> Dict[str, Array]:
+    """Inverse of `convert_encoder2d_state_dict` (keys WITHOUT the
+    ``scene_encoder.`` prefix)."""
+    params = variables["params"] if "params" in variables else variables
+    out: Dict[str, Array] = {}
+    _inv_linear(params["Dense_0"], "point_embedding.0", out)
+    _inv_norm(params["LayerNorm_0"], "point_embedding.1", out)
+    _inv_linear(params["Dense_1"], "combined_encoder.0", out)
+    _inv_norm(params["LayerNorm_1"], "combined_encoder.1", out)
+    for s, dim in enumerate(output_dims):
+        for b in range(num_blocks):
+            blk, p = params[f"stack{dim}_block{b}"], f"set_transformers.{s}.{b}"
+            _inv_norm(blk["LayerNorm_0"], f"{p}.norm1", out)
+            _inv_norm(blk["LayerNorm_1"], f"{p}.norm2", out)
+            _inv_linear(blk["MultiheadSelfAttention_0"]["Dense_0"],
+                        f"{p}.attn.qkv", out, bias=False)
+            _inv_linear(blk["MultiheadSelfAttention_0"]["Dense_1"],
+                        f"{p}.attn.proj", out)
+            _inv_linear(blk["Dense_0"], f"{p}.mlp.0", out)
+            _inv_linear(blk["Dense_1"], f"{p}.mlp.3", out)
+        _inv_linear(params[f"pool{dim}_0"], f"poolings.{s}.0", out)
+        _inv_linear(params[f"pool{dim}_1"], f"poolings.{s}.2", out)
+    return out
+
+
 def import_reference_checkpoint(path: str, n_resolutions: int) -> Dict[str, Dict]:
     """Load a reference ``*.pth`` checkpoint and return
     ``{"unet": variables, "encoder": variables}`` ready for

@@ -176,6 +176,32 @@ def test_pth_checkpoint_loads_into_planner(tmp_path):
     assert np.isfinite(np.asarray(x)).all()
 
 
+def test_export_roundtrip_is_identity():
+    """flax -> torch (export) -> flax (convert) reproduces every tensor, so
+    our trained weights can run inside the reference's own engine."""
+    from ramp_tpu.utils.torch_import import (
+        export_encoder2d_state_dict, export_unet_state_dict)
+
+    m = _tiny_torch_unet()
+    sd = {k: v.numpy() for k, v in m.state_dict().items()
+          if not k.startswith("scene_encoder.")}
+    params = convert_unet_state_dict(sd, n_resolutions=len(DIM_MULTS))
+    back = export_unet_state_dict(params, n_resolutions=len(DIM_MULTS))
+    assert set(back) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+
+    from mpd.models.diffusion_models.obstacle_encoder import ObstacleEncoderSet
+    torch.manual_seed(5)
+    enc_sd = {k: v.numpy() for k, v in ObstacleEncoderSet().state_dict().items()
+              if k != "pos_encoder.div_term"}  # buffer, recomputed on our side
+    enc_params = convert_encoder2d_state_dict(enc_sd)
+    enc_back = export_encoder2d_state_dict(enc_params)
+    assert set(enc_back) == set(enc_sd)
+    for k in enc_sd:
+        np.testing.assert_array_equal(enc_back[k], enc_sd[k], err_msg=k)
+
+
 def test_split_reference_state_dict_routes_keys():
     sd = {
         "model.downs.0.0.cond_mlp.1.weight": np.zeros((8, 32), np.float32),
