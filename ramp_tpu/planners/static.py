@@ -60,10 +60,14 @@ class StaticPlannerConfig:
     apf: APFParams = APFParams()           # thr=0.07, strength=0.1, window=7, 3 iters
     dtype: str = "bfloat16"
     attn_impl: str = "default"             # self-attn lowering: default or bnhd
+    # Beyond-parity tuning knob: None keeps the reference step counts.
+    ddim_steps_override: Optional[int] = None
 
     @property
     def ddim_steps(self) -> int:
         # ref diffusion_model_static.py:40
+        if self.ddim_steps_override is not None:
+            return self.ddim_steps_override
         return 8 if (self.compose and self.use_apf) else 5
 
 

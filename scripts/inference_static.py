@@ -35,6 +35,12 @@ def main():
     p.add_argument("--results", default="eval_results_static.json")
     p.add_argument("--context-dir", default=None)
     p.add_argument("--plots-dir", default=None)
+    p.add_argument("--ddim-steps", type=int, default=None,
+                   help="override the DDIM inference step count "
+                        "(default: reference parity — 5, or 8 for compose+APF)")
+    p.add_argument("--cfg-weight", type=float, default=None,
+                   help="override the classifier-free guidance weight "
+                        "(default: reference parity w=2)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--unet-dim", type=int, default=32)
     p.add_argument("--dim-mults-option", type=int, default=1, choices=[0, 1])
@@ -48,12 +54,19 @@ def main():
 
     dataset = TrajectoryDataset(args.dataset, include_velocity=True)
     from ramp_tpu.guidance.apf import APFParams
+    overrides = {}
+    if args.ddim_steps is not None:
+        overrides["ddim_steps_override"] = args.ddim_steps
+    if args.cfg_weight is not None:
+        overrides["cfg_weight"] = args.cfg_weight
+        overrides["compose_weights"] = (args.cfg_weight, args.cfg_weight)
     cfg = StaticPlannerConfig(horizon=dataset.horizon,
                               state_dim=dataset.state_dim,
                               unet_input_dim=args.unet_dim,
                               unet_dim_mults_option=args.dim_mults_option,
                               compose=args.compose, use_apf=args.use_apf,
-                              apf=APFParams(backend=args.apf_backend))
+                              apf=APFParams(backend=args.apf_backend),
+                              **overrides)
     planner = StaticPlanner(cfg)
     n_obs, n_pts = dataset.obstacle_points.shape[1:3]
     params = load_planner_params(planner, args.checkpoints, n_obs, n_pts,

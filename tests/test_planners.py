@@ -9,6 +9,33 @@ from ramp_tpu.planners.planner3d import Planner3D, Planner3DConfig
 from ramp_tpu.planners.static import StaticPlanner, StaticPlannerConfig
 
 
+def test_static_planner_ddim_steps_override():
+    # parity defaults: 5 plain, 8 compose+APF (ref diffusion_model_static.py:40)
+    assert StaticPlannerConfig().ddim_steps == 5
+    assert StaticPlannerConfig(compose=True, use_apf=True).ddim_steps == 8
+    # tuning override wins in either mode
+    assert StaticPlannerConfig(ddim_steps_override=10).ddim_steps == 10
+    assert StaticPlannerConfig(compose=True, use_apf=True,
+                               ddim_steps_override=4).ddim_steps == 4
+
+
+def test_static_planner_override_chain_length():
+    cfg = StaticPlannerConfig(horizon=16, n_diffusion_steps=10,
+                              unet_input_dim=8, unet_dim_mults_option=0,
+                              ddim_steps_override=4, dtype="float32")
+    p = StaticPlanner(cfg)
+    params = p.init_params(jax.random.PRNGKey(0), n_obstacles=4, n_points=8)
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (4, 8, 2),
+                             minval=-0.8, maxval=0.8)
+    start = jnp.asarray([-0.8, -0.8, 0.0, 0.0])
+    goal = jnp.asarray([0.8, 0.8, 0.0, 0.0])
+    x, chain = p.plan(params, jax.random.PRNGKey(2), pts, start, goal,
+                      n_samples=2)
+    assert x.shape == (2, 16, 4)
+    assert chain.shape[0] == 4 + 1
+    assert np.isfinite(np.asarray(x)).all()
+
+
 def test_static_planner_compose_mode():
     cfg = StaticPlannerConfig(horizon=16, n_diffusion_steps=10,
                               unet_input_dim=8, unet_dim_mults_option=0,
