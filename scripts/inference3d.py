@@ -38,6 +38,9 @@ def main():
     p.add_argument("--dim-mults-option", type=int, default=1, choices=[0, 1])
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="override the JAX backend (e.g. cpu for debugging)")
+    p.add_argument("--cfg-weight", type=float, default=None,
+                   help="override the CFG / composition weight (default: "
+                        "reference parity w=5.75, compose w1=w2=5)")
     args = p.parse_args()
 
     from ramp_tpu.utils.platform import enable_compilation_cache, set_platform
@@ -46,10 +49,14 @@ def main():
 
     dataset = TrajectoryDataset(args.dataset, include_velocity=True)
     compose = args.compose_dataset is not None
+    overrides = {}
+    if args.cfg_weight is not None:
+        overrides["cfg_weight"] = args.cfg_weight
+        overrides["compose_weights"] = (args.cfg_weight, args.cfg_weight)
     cfg = Planner3DConfig(horizon=dataset.horizon, state_dim=dataset.state_dim,
                           unet_input_dim=args.unet_dim,
                           unet_dim_mults_option=args.dim_mults_option,
-                          compose=compose)
+                          compose=compose, **overrides)
     planner = Planner3D(cfg)
     n_obs, n_pts = dataset.obstacle_points.shape[1:3]
     params = load_planner_params(planner, args.checkpoints, n_obs, n_pts,

@@ -38,6 +38,12 @@ def main():
     p.add_argument("--ddpm", action="store_true",
                    help="use the DDPM p_sample_loop closed-loop variant "
                         "(ref diffusion_model_dynamic.py:216-331) instead of DDIM")
+    p.add_argument("--ddim-steps-high", type=int, default=None,
+                   help="STAGE-I plan DDIM steps (default: reference parity 10)")
+    p.add_argument("--ddim-steps-low", type=int, default=None,
+                   help="STAGE-II refine DDIM steps (default: reference parity 5)")
+    p.add_argument("--cfg-weight", type=float, default=None,
+                   help="CFG weight (default: reference parity w=2.5)")
     args = p.parse_args()
 
     from ramp_tpu.utils.platform import enable_compilation_cache, set_platform
@@ -45,11 +51,18 @@ def main():
     enable_compilation_cache()
 
     dataset = TrajectoryDataset(args.dataset, include_velocity=True)
+    overrides = {}
+    if args.ddim_steps_high is not None:
+        overrides["ddim_steps_high"] = args.ddim_steps_high
+    if args.ddim_steps_low is not None:
+        overrides["ddim_steps_low"] = args.ddim_steps_low
+    if args.cfg_weight is not None:
+        overrides["cfg_weight"] = args.cfg_weight
     cfg = DynamicPlannerConfig(horizon=dataset.horizon,
                                state_dim=dataset.state_dim,
                                unet_input_dim=args.unet_dim,
                                unet_dim_mults_option=args.dim_mults_option,
-                               use_ddim=not args.ddpm)
+                               use_ddim=not args.ddpm, **overrides)
     planner = DynamicPlanner(cfg)
     n_obs, n_pts = dataset.obstacle_points.shape[1:3]
 
