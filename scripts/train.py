@@ -44,6 +44,12 @@ def main():
                    help="UNET_DIM_MULTS key (ref UnetInference.py:13)")
     p.add_argument("--log-file", default=None)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--init-weights", default=None,
+                   help="initialize model params from an exported .npz weight "
+                        "file, a reference .pth state_dict, or another orbax "
+                        "checkpoint dir (fine-tuning). Only used when the "
+                        "--checkpoints dir has no checkpoint to resume from — "
+                        "a true resume always wins.")
     p.add_argument("--normalizer-dataset", default=None,
                    help="fit the trajectory normalizer on this dataset root "
                         "instead of the (possibly multi-root) training set — "
@@ -89,7 +95,13 @@ def main():
     n_obs, n_pts = dataset.obstacle_points.shape[1:3]
     schedule = planner.schedule
 
-    params = planner.init_params(jax.random.PRNGKey(args.seed), n_obs, n_pts)
+    if args.init_weights:
+        from ramp_tpu.utils.checkpoints import load_planner_params
+        params = load_planner_params(planner, args.init_weights, n_obs, n_pts,
+                                     seed=args.seed)
+        print(f"initialized params from {args.init_weights}")
+    else:
+        params = planner.init_params(jax.random.PRNGKey(args.seed), n_obs, n_pts)
 
     batch_size = args.batch_size or 16 * n_dev
     tcfg = TrainConfig(lr=args.lr, batch_size=batch_size, seed=args.seed)
