@@ -21,7 +21,7 @@ CKPT=checkpoints/simple2d_v2ft
 for leg in 60000 120000; do
   log "fine-tune leg to step $leg"
   python scripts/train.py --dataset $DS --checkpoints $CKPT \
-      --init-weights artifacts/weights/simple2d_v2.npz \
+      --init-weights artifacts/weights/simple2d_v2.npz --batch-size 128 \
       --steps $leg --log-file logs/simple2d_v2ft.jsonl \
       > logs/simple2d_v2ft.out 2>&1 || { echo "train leg $leg FAILED"; break; }
   log "export at step $leg"
