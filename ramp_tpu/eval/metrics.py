@@ -69,6 +69,39 @@ def compute_collision_intensity(trajs, box_centers, box_sizes) -> jnp.ndarray:
     return inside.any(axis=-1).astype(jnp.float32).mean(axis=1)
 
 
+def compute_path_length_3d(trajs) -> jnp.ndarray:
+    """[B, H, D>=3] -> [B]; xyz arc length (3-D analog of ref :32-45)."""
+    trajs = jnp.asarray(trajs)
+    diffs = trajs[:, 1:, :3] - trajs[:, :-1, :3]
+    return jnp.sqrt((diffs ** 2).sum(-1)).sum(-1)
+
+
+def compute_collision_intensity_3d(trajs, box_centers, box_sizes,
+                                   sphere_centers=None,
+                                   sphere_radii=None) -> jnp.ndarray:
+    """[B] fraction of waypoints inside any 3-D box or sphere.
+
+    The reference 3-D harness only renders plans (`inference3d.py:158-381`,
+    no metrics); this extends the 2-D box-overlap definition (ref :48-82) to
+    the 3-D scene's boxes + spheres so 3-D quality is measurable.
+    """
+    trajs = jnp.asarray(trajs)
+    pos = trajs[:, :, None, :3]
+    box_centers = jnp.asarray(box_centers, jnp.float32)
+    box_sizes = jnp.asarray(box_sizes, jnp.float32)
+    if box_sizes.ndim == 1:
+        box_sizes = jnp.repeat(box_sizes[:, None], 3, axis=-1)
+    lower = (box_centers - box_sizes / 2)[None, None]
+    upper = (box_centers + box_sizes / 2)[None, None]
+    inside = jnp.all((pos >= lower) & (pos <= upper), axis=-1).any(axis=-1)
+    if sphere_centers is not None and np.size(sphere_centers):
+        sc = jnp.asarray(sphere_centers, jnp.float32)[None, None]
+        sr = jnp.asarray(sphere_radii, jnp.float32).reshape(-1)[None, None]
+        d = jnp.linalg.norm(pos - sc, axis=-1)
+        inside = inside | (d <= sr).any(axis=-1)
+    return inside.astype(jnp.float32).mean(axis=1)
+
+
 def trajectory_success_and_metrics(trajs_final, collision_intensities,
                                    threshold: float = 0.01) -> Dict:
     """ref :84-126. Returns plain-python dict for the harness/JSON dump."""

@@ -84,11 +84,41 @@ def main():
         jax.block_until_ready(x)
 
     trajs = np.asarray(dataset.normalizer.unnormalize(x))
+
+    from ramp_tpu.eval.metrics import (compute_collision_intensity_3d,
+                                       compute_path_length_3d)
+    meta = dataset.metadata
+    box_centers = np.asarray(dataset.box_centers[idx])
+    box_sizes = np.asarray(dataset.box_sizes[idx])
+    sph_c = meta.get("sphere_centers")
+    sph_r = meta.get("sphere_radii")
+    if compose:
+        # a composed plan must clear the union of both obstacle sets
+        om = other.metadata
+        box_centers = np.concatenate([box_centers,
+                                      np.asarray(other.box_centers[0])])
+        box_sizes = np.concatenate([box_sizes,
+                                    np.asarray(other.box_sizes[0])])
+        if om.get("sphere_centers") is not None:
+            sph_c = (np.concatenate([np.asarray(sph_c),
+                                     np.asarray(om["sphere_centers"])])
+                     if sph_c is not None else om["sphere_centers"])
+            sph_r = (np.concatenate([np.asarray(sph_r).reshape(-1),
+                                     np.asarray(om["sphere_radii"]).reshape(-1)])
+                     if sph_r is not None else om["sphere_radii"])
+    ci = np.asarray(compute_collision_intensity_3d(
+        trajs, box_centers, box_sizes, sph_c, sph_r))
+    free = ci <= 0.01
+    pl = np.asarray(compute_path_length_3d(trajs[free])) if free.any() else None
     result = {"t_sampling_s": t.elapsed, "n_samples": args.n_samples,
               "compose": compose,
               "goal_error": float(np.linalg.norm(
                   trajs[0, -1, :3] - np.asarray(
-                      dataset.normalizer.unnormalize(goal))[:3]))}
+                      dataset.normalizer.unnormalize(goal))[:3])),
+              "collision_intensity_pct": float(ci.mean() * 100),
+              "success": int(free.any()),
+              "n_free_trajectories": int(free.sum()),
+              "path_length_mean": float(pl.mean()) if pl is not None else None}
     with open(args.results, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result, indent=2))

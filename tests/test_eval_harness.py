@@ -98,3 +98,32 @@ def test_compose_split_shapes():
     # duplicates come from the remaining four
     for dup in out[1][4:]:
         assert any(np.allclose(dup, p) for p in pts[6:])
+
+
+def test_collision_intensity_3d():
+    from ramp_tpu.eval.metrics import (compute_collision_intensity_3d,
+                                       compute_path_length_3d)
+    import numpy as np
+    # straight line through a unit box at the origin; sphere far away
+    H = 8
+    traj = np.zeros((1, H, 6), np.float32)
+    traj[0, :, 0] = np.linspace(-2, 2, H)  # x sweep, y=z=0
+    ci = compute_collision_intensity_3d(
+        traj, np.zeros((1, 3)), np.ones((1, 3)),
+        sphere_centers=np.array([[5.0, 5.0, 5.0]]),
+        sphere_radii=np.array([0.5]))
+    inside = np.abs(np.linspace(-2, 2, H)) <= 0.5
+    assert float(ci[0]) == pytest.approx(inside.mean())
+    # sphere hit: waypoint at its center
+    traj2 = np.full((1, 2, 6), 5.0, np.float32)
+    ci2 = compute_collision_intensity_3d(
+        traj2, np.zeros((1, 3)), np.ones((1, 3)),
+        sphere_centers=np.array([[5.0, 5.0, 5.0]]),
+        sphere_radii=np.array([0.5]))
+    assert float(ci2[0]) == 1.0
+    # no spheres given
+    ci3 = compute_collision_intensity_3d(traj, np.zeros((1, 3)),
+                                         np.ones((1, 3)))
+    assert float(ci3[0]) == pytest.approx(inside.mean())
+    # xyz arc length of the sweep is 4
+    assert float(compute_path_length_3d(traj)[0]) == pytest.approx(4.0, rel=1e-5)
