@@ -4,13 +4,13 @@
 # export + committable snapshot after each leg (checkpoints/ is ephemeral;
 # artifacts/weights/ is what survives).
 #
-# Waits for the quality A/B (pid in /tmp/qab.pid) to release the TPU.
+# Waits for the quality A/B (pid in /tmp/qab2.pid) to release the TPU.
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p logs artifacts/weights
 
-if [ -f /tmp/qab.pid ]; then
-  P=$(cat /tmp/qab.pid)
+if [ -f /tmp/qab2.pid ]; then
+  P=$(cat /tmp/qab2.pid)
   while kill -0 "$P" 2>/dev/null; do sleep 60; done
 fi
 
