@@ -59,6 +59,7 @@ def measure_replan(config=None, n_samples: int = 64, K: int = 16,
             key = jax.random.fold_in(
                 key, jnp.abs(xprev[0, 0, 0] * 1e6).astype(jnp.uint32))
             x, _ = planner._plan(params, key, pts, start, goal,
+                                 planner._guide_w(),
                                  n_samples=n_samples, return_chain=False)
             return (key, x), None
         init = (key, jnp.zeros((n_samples, horizon, state_dim)))

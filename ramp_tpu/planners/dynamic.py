@@ -172,6 +172,11 @@ class DynamicPlanner:
         return {"unet": self.unet.init(k1, x, t, lat),
                 "encoder": self.encoder.init(k2, pts)}
 
+    def _guide_w(self):
+        """Traced CFG weight (see `StaticPlanner._build_fold`): weight sweeps
+        reuse the closed-loop compilation."""
+        return jnp.float32(self.config.cfg_weight)
+
     # ------------------------------------------------------------- internals
     def _ddim_step(self, params, fold, x, t_scalar, endpoints):
         """One plain DDIM step (no APF). ref ddim_p_sample :338-373."""
@@ -348,7 +353,7 @@ class DynamicPlanner:
         return dfn.apply_hard_conditioning(x, endpoints)
 
     def _run_ddpm(self, params, key, obstacle_pts, static_apf_pts, start, goal,
-                  pursuer_init, n_samples: int):
+                  pursuer_init, guide_w, n_samples: int):
         """DDPM p_sample_loop closed loop (ref diffusion_model_dynamic.py:
         216-331): STAGE I runs the ancestral chain only down to
         forward_t == predator_start (26 steps), re-noises to t=high_refine and
@@ -358,7 +363,7 @@ class DynamicPlanner:
         cfg = self.config
         h, d = cfg.horizon, cfg.state_dim
         latents = self.encoder.apply(params["encoder"], obstacle_pts[None])
-        fold = cfg_fold(latents[0], cfg.cfg_weight)
+        fold = cfg_fold(latents[0], guide_w)
         endpoints = dfn.Endpoints(start=start, goal=goal)
         goal_state = goal
         obstacle_pts_flat = obstacle_pts.reshape(-1, 2)
@@ -479,11 +484,11 @@ class DynamicPlanner:
 
     # ------------------------------------------------------------------ run
     def _run(self, params, key, obstacle_pts, static_apf_pts, start, goal,
-             pursuer_init, n_samples: int):
+             pursuer_init, guide_w, n_samples: int):
         cfg = self.config
         h, d = cfg.horizon, cfg.state_dim
         latents = self.encoder.apply(params["encoder"], obstacle_pts[None])
-        fold = cfg_fold(latents[0], cfg.cfg_weight)
+        fold = cfg_fold(latents[0], guide_w)
         endpoints = dfn.Endpoints(start=start, goal=goal)
         goal_state = goal
         obstacle_pts_flat = obstacle_pts.reshape(-1, 2)
@@ -606,9 +611,10 @@ class DynamicPlanner:
             run = self._run if self.config.use_ddim else self._run_ddpm
             self._run_jit[sig] = jax.jit(jax.vmap(
                 partial(run, n_samples=n_samples),
-                in_axes=(None, 0, 0, 0, 0, 0, 0)))
+                in_axes=(None, 0, 0, 0, 0, 0, 0, None)))
         return self._run_jit[sig](params, keys, obstacle_pts, static_apf_pts,
-                                  starts, goals, pursuer_inits)
+                                  starts, goals, pursuer_inits,
+                                  self._guide_w())
 
     def run_episode(self, params, key, obstacle_pts, static_apf_pts, start, goal,
                     pursuer_init, n_samples: int = 35) -> EpisodeResult:
@@ -625,4 +631,5 @@ class DynamicPlanner:
             self._run_jit[n_samples] = jax.jit(
                 partial(run, n_samples=n_samples))
         return self._run_jit[n_samples](params, key, obstacle_pts, static_apf_pts,
-                                        start, goal, pursuer_init)
+                                        start, goal, pursuer_init,
+                                        self._guide_w())

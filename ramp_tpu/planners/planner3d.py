@@ -76,15 +76,22 @@ class Planner3D:
         return {"unet": self.unet.init(k1, x, t, lat),
                 "encoder": self.encoder.init(k2, pts)}
 
-    def _plan(self, params, key, obstacle_pts, start, goal, n_samples: int,
-              return_chain: bool):
+    def _guide_w(self):
+        cfg = self.config
+        return (jnp.asarray(cfg.compose_weights, jnp.float32) if cfg.compose
+                else jnp.float32(cfg.cfg_weight))
+
+    def _plan(self, params, key, obstacle_pts, start, goal, guide_w,
+              n_samples: int, return_chain: bool):
+        """guide_w is traced (see `StaticPlanner._build_fold`) so CFG-weight
+        sweeps reuse one compilation."""
         cfg = self.config
         if cfg.compose:
             latents = self.encoder.apply(params["encoder"], obstacle_pts)
-            fold = compose_fold(latents[0], latents[1], *cfg.compose_weights)
+            fold = compose_fold(latents[0], latents[1], guide_w[0], guide_w[1])
         else:
             latents = self.encoder.apply(params["encoder"], obstacle_pts[None])
-            fold = cfg_fold(latents[0], cfg.cfg_weight)
+            fold = cfg_fold(latents[0], guide_w)
         endpoints = dfn.Endpoints(start=start, goal=goal)
         shape = (n_samples, cfg.horizon, cfg.state_dim)
         if cfg.use_ddim:
@@ -108,7 +115,8 @@ class Planner3D:
         if sig not in self._plan_jit:
             self._plan_jit[sig] = jax.jit(
                 partial(self._plan, n_samples=n_samples, return_chain=return_chain))
-        return self._plan_jit[sig](params, key, obstacle_pts, start, goal)
+        return self._plan_jit[sig](params, key, obstacle_pts, start, goal,
+                                   self._guide_w())
 
     def plan_fn_sharded(self, n_samples: int, mesh, return_chain: bool = False):
         """Trajectory population sharded over the mesh's `data` axis (see
@@ -123,8 +131,11 @@ class Planner3D:
         rep = replicate(mesh)
         out = batch_sharding(mesh)
         chain_out = NamedSharding(mesh, P(None, "data")) if return_chain else None
-        return jax.jit(
+        jitted = jax.jit(
             partial(self._plan, n_samples=n_samples, return_chain=return_chain),
-            in_shardings=(rep, rep, rep, rep, rep),
+            in_shardings=(rep, rep, rep, rep, rep, rep),
             out_shardings=(out, chain_out),
         )
+        w = self._guide_w()
+        return lambda params, key, pts, start, goal: jitted(
+            params, key, pts, start, goal, w)

@@ -103,19 +103,29 @@ class StaticPlanner:
         }
 
     # ------------------------------------------------------------------ plan
-    def _build_fold(self, params, obstacle_pts: jax.Array) -> GuidanceFold:
+    def _build_fold(self, params, obstacle_pts: jax.Array,
+                    guide_w: jax.Array) -> GuidanceFold:
+        """guide_w is a traced argument (scalar CFG weight, or [2] compose
+        weights) rather than a baked constant: one compilation — and one
+        persistent-cache entry — serves every guidance weight, so weight
+        sweeps don't recompile."""
         cfg = self.config
         if cfg.compose:
             # obstacle_pts: [2, O, P, 2] — two obstacle sets
             latents = self.encoder.apply(params["encoder"], obstacle_pts)  # [2,1,320]
-            return compose_fold(latents[0], latents[1], *cfg.compose_weights)
+            return compose_fold(latents[0], latents[1], guide_w[0], guide_w[1])
         latents = self.encoder.apply(params["encoder"], obstacle_pts[None])  # [1,1,320]
-        return cfg_fold(latents[0], cfg.cfg_weight)
+        return cfg_fold(latents[0], guide_w)
 
-    def _plan(self, params, key, obstacle_pts, start, goal, n_samples: int,
-              return_chain: bool):
+    def _guide_w(self) -> jax.Array:
         cfg = self.config
-        fold = self._build_fold(params, obstacle_pts)
+        return (jnp.asarray(cfg.compose_weights, jnp.float32) if cfg.compose
+                else jnp.float32(cfg.cfg_weight))
+
+    def _plan(self, params, key, obstacle_pts, start, goal, guide_w,
+              n_samples: int, return_chain: bool):
+        cfg = self.config
+        fold = self._build_fold(params, obstacle_pts, guide_w)
         endpoints = dfn.Endpoints(start=start, goal=goal)
         shape = (n_samples, cfg.horizon, cfg.state_dim)
         apf_points = None
@@ -150,12 +160,20 @@ class StaticPlanner:
         return x, chain
 
     def plan_fn(self, n_samples: int, return_chain: bool = True):
-        """Return the jitted plan callable for a given batch size."""
+        """Return the jitted plan callable for a given batch size.
+
+        The guidance weight is injected here as a traced argument, so the
+        returned callable keeps the (params, key, pts, start, goal)
+        signature while planners configured with different weights share
+        one compilation (via the persistent compile cache)."""
         key_sig = (n_samples, return_chain)
         if key_sig not in self._plan_jit:
             self._plan_jit[key_sig] = jax.jit(
                 partial(self._plan, n_samples=n_samples, return_chain=return_chain))
-        return self._plan_jit[key_sig]
+        jitted = self._plan_jit[key_sig]
+        w = self._guide_w()
+        return lambda params, key, pts, start, goal: jitted(
+            params, key, pts, start, goal, w)
 
     def plan(self, params, key, obstacle_pts, start, goal, n_samples: int = 20,
              return_chain: bool = True):
@@ -196,8 +214,11 @@ class StaticPlanner:
         # chain has the step axis first: shard its sample axis (dim 1)
         from jax.sharding import NamedSharding, PartitionSpec as P
         chain_out = NamedSharding(mesh, P(None, "data")) if return_chain else None
-        return jax.jit(
+        jitted = jax.jit(
             partial(self._plan, n_samples=n_samples, return_chain=return_chain),
-            in_shardings=(rep, rep, rep, rep, rep),
+            in_shardings=(rep, rep, rep, rep, rep, rep),
             out_shardings=(out, chain_out),
         )
+        w = self._guide_w()
+        return lambda params, key, pts, start, goal: jitted(
+            params, key, pts, start, goal, w)

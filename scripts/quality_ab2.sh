@@ -1,8 +1,7 @@
 #!/usr/bin/env bash
-# Follow-up to quality_ab.sh: DDIM-10 REDUCED plain success (0.679 vs 0.721
-# base) by collapsing sample diversity — the any-of-20-samples success metric
-# rewards diverse populations. Probe the opposite direction: lower CFG
-# weight (more diversity), plus a fewer-steps variant.
+# Follow-up to quality_ab.sh: DDIM-10 reduced plain success (0.679 vs 0.721
+# base) while CFG w=3 improved it (0.750, diversity up too). Push further
+# along the winning axis (w=4) and probe a fewer-steps variant.
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p logs
@@ -25,17 +24,16 @@ run_probe() {
       > "logs/ab_${name}.out" 2>&1 || echo "probe $name FAILED"
 }
 
-run_probe d5w15 --cfg-weight 1.5
-run_probe d5w1 --cfg-weight 1.0
-run_probe d3w2 --ddim-steps 3
+run_probe d5w4 --cfg-weight 4
+run_probe d3w3 --ddim-steps 3 --cfg-weight 3
 
 python - <<'EOF' > /tmp/ab2_winner.txt
 import json
 probes = {
     "base": [],
-    "d5w15": ["--cfg-weight", "1.5"],
-    "d5w1": ["--cfg-weight", "1.0"],
-    "d3w2": ["--ddim-steps", "3"],
+    "d5w3": ["--cfg-weight", "3"],
+    "d5w4": ["--cfg-weight", "4"],
+    "d3w3": ["--ddim-steps", "3", "--cfg-weight", "3"],
 }
 res = {}
 for name in probes:

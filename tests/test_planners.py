@@ -259,3 +259,28 @@ def test_dynamic_planner_batched_episodes():
                          goals[0], pursuers[0], n_samples=3)
     np.testing.assert_allclose(np.asarray(res.plans[0]),
                                np.asarray(solo.plans), rtol=2e-4, atol=2e-5)
+
+
+def test_static_planner_guide_weight_traced():
+    """Different CFG weights change the output through the SAME jitted
+    callable — the weight is a traced argument, not a baked constant."""
+    base = dict(horizon=16, n_diffusion_steps=10, unet_input_dim=8,
+                unet_dim_mults_option=0, dtype="float32")
+    pA = StaticPlanner(StaticPlannerConfig(cfg_weight=2.0, **base))
+    pB = StaticPlanner(StaticPlannerConfig(cfg_weight=6.0, **base))
+    params = pA.init_params(jax.random.PRNGKey(0), n_obstacles=4, n_points=8)
+    # at random init the cross-attn out-projections are zero-initialized, so
+    # cond == uncond and any CFG weight cancels; nudge zeros so the scene
+    # conditioning (and hence the weight) has an effect
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.where(a == 0, 0.01, a) if hasattr(a, "ndim") else a,
+        params)
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (4, 8, 2),
+                             minval=-0.8, maxval=0.8)
+    start = jnp.asarray([-0.8, -0.8, 0.0, 0.0])
+    goal = jnp.asarray([0.8, 0.8, 0.0, 0.0])
+    key = jax.random.PRNGKey(2)
+    xA, _ = pA.plan(params, key, pts, start, goal, n_samples=2)
+    xB, _ = pB.plan(params, key, pts, start, goal, n_samples=2)
+    assert not np.allclose(np.asarray(xA), np.asarray(xB))
+    assert len(pA._plan_jit) == 1 and len(pB._plan_jit) == 1
