@@ -29,9 +29,14 @@ for leg in 60000 120000; do
       --out artifacts/weights/simple2d_v2_ft.npz >> logs/simple2d_v2ft.out 2>&1
 done
 
-log "eval fine-tuned plain grid"
+log "eval fine-tuned plain grid (parity w=2)"
 python scripts/inference_static.py --dataset $DS \
     --checkpoints artifacts/weights/simple2d_v2_ft.npz --n-contexts 20 \
     --n-samples 20 --results eval_results_static_ft.json \
     > logs/eval_static_ft.out 2>&1
+log "eval fine-tuned plain grid (tuned w=3)"
+python scripts/inference_static.py --dataset $DS \
+    --checkpoints artifacts/weights/simple2d_v2_ft.npz --n-contexts 20 \
+    --n-samples 20 --cfg-weight 3 --results eval_results_static_ft_w3.json \
+    > logs/eval_static_ft_w3.out 2>&1
 log "fine-tune campaign done"
