@@ -151,5 +151,10 @@ def ddim_timesteps(n_diffusion_steps: int, num_inference_steps: int) -> np.ndarr
     e.g. T=100, n=10 -> [90, 80, ..., 10, 0]. Static (numpy) so samplers can
     unroll or scan over it without tracing.
     """
+    if not 1 <= num_inference_steps <= n_diffusion_steps:
+        raise ValueError(
+            f"num_inference_steps={num_inference_steps} must be in "
+            f"[1, n_diffusion_steps={n_diffusion_steps}] — above T the step "
+            "ratio truncates to 0 and the chain would never denoise")
     step_ratio = n_diffusion_steps // num_inference_steps
     return (np.arange(0, num_inference_steps) * step_ratio).round()[::-1].copy().astype(np.int64)

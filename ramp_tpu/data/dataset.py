@@ -128,6 +128,10 @@ class TrajectoryDataset:
         trajs_l, obs_l, bc_l, bs_l = [], [], [], []
         self.map_task_id_to_trajectories_id: Dict[int, np.ndarray] = {}
         self.task_dirs: List[str] = []
+        # per-task metadata (sphere geometry etc.) aligned with task ids —
+        # tasks in one family can carry different sphere_centers/radii, so a
+        # single dataset-level dict would silently mix scenes
+        self.task_metadata: List[dict] = []
         n = 0
         metadata = {}
         for tid, (root, sub) in enumerate(subdirs):
@@ -145,6 +149,7 @@ class TrajectoryDataset:
                                         (k,) + task["box_centers"].shape))
             bs_l.append(np.broadcast_to(task["box_sizes"][None],
                                         (k,) + task["box_sizes"].shape))
+            self.task_metadata.append(task["metadata"] or {})
             metadata = task["metadata"] or metadata
             n += k
         if n == 0:
@@ -158,6 +163,8 @@ class TrajectoryDataset:
         self.obstacle_points = np.concatenate(obs_l)
         self.box_centers = np.concatenate(bc_l)
         self.box_sizes = np.concatenate(bs_l)
+        # last task's metadata (legacy aggregate view — fields that vary per
+        # task, e.g. sphere geometry, must come from self.task_metadata)
         self.metadata = metadata
         self.n_trajs, self.horizon, self.state_dim = trajs.shape
 

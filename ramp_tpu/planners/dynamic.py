@@ -51,7 +51,8 @@ from ramp_tpu.guidance.cost import collision_counts, select_best_trajectory
 from ramp_tpu.nn.encoders import ObstacleEncoderSet2D
 from ramp_tpu.nn.unet import TemporalUnet, UNET_DIM_MULTS
 from ramp_tpu.sampler.energy import make_eps_fn
-from ramp_tpu.sampler.guidance_fold import cfg_fold, guided_eps
+from ramp_tpu.sampler.guidance_fold import (cfg_fold, guide_weights,
+                                             guided_eps)
 from ramp_tpu.scenes.dynamics import PursuitParams, pursuit_step
 from ramp_tpu.scenes.pointclouds import generate_sphere_points
 
@@ -173,9 +174,7 @@ class DynamicPlanner:
                 "encoder": self.encoder.init(k2, pts)}
 
     def _guide_w(self):
-        """Traced CFG weight (see `StaticPlanner._build_fold`): weight sweeps
-        reuse the closed-loop compilation."""
-        return jnp.float32(self.config.cfg_weight)
+        return guide_weights(self.config)
 
     # ------------------------------------------------------------- internals
     def _ddim_step(self, params, fold, x, t_scalar, endpoints):

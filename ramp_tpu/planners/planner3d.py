@@ -22,7 +22,8 @@ from ramp_tpu.nn.unet import TemporalUnet, UNET_DIM_MULTS
 from ramp_tpu.sampler.ddim import ddim_sample_chain
 from ramp_tpu.sampler.ddpm import ddpm_sample_chain
 from ramp_tpu.sampler.energy import make_eps_fn
-from ramp_tpu.sampler.guidance_fold import cfg_fold, compose_fold
+from ramp_tpu.sampler.guidance_fold import (cfg_fold, compose_fold,
+                                             guide_weights)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -77,9 +78,7 @@ class Planner3D:
                 "encoder": self.encoder.init(k2, pts)}
 
     def _guide_w(self):
-        cfg = self.config
-        return (jnp.asarray(cfg.compose_weights, jnp.float32) if cfg.compose
-                else jnp.float32(cfg.cfg_weight))
+        return guide_weights(self.config)
 
     def _plan(self, params, key, obstacle_pts, start, goal, guide_w,
               n_samples: int, return_chain: bool):

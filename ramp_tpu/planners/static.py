@@ -37,7 +37,8 @@ from ramp_tpu.nn.unet import TemporalUnet, UNET_DIM_MULTS
 from ramp_tpu.sampler.ddim import ddim_sample_chain
 from ramp_tpu.sampler.ddpm import ddpm_sample_chain
 from ramp_tpu.sampler.energy import make_eps_fn
-from ramp_tpu.sampler.guidance_fold import GuidanceFold, cfg_fold, compose_fold
+from ramp_tpu.sampler.guidance_fold import (GuidanceFold, cfg_fold,
+                                             compose_fold, guide_weights)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -117,10 +118,8 @@ class StaticPlanner:
         latents = self.encoder.apply(params["encoder"], obstacle_pts[None])  # [1,1,320]
         return cfg_fold(latents[0], guide_w)
 
-    def _guide_w(self) -> jax.Array:
-        cfg = self.config
-        return (jnp.asarray(cfg.compose_weights, jnp.float32) if cfg.compose
-                else jnp.float32(cfg.cfg_weight))
+    def _guide_w(self):
+        return guide_weights(self.config)
 
     def _plan(self, params, key, obstacle_pts, start, goal, guide_w,
               n_samples: int, return_chain: bool):

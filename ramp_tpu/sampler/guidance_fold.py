@@ -31,6 +31,16 @@ class GuidanceFold(NamedTuple):
     weights: jnp.ndarray
 
 
+def guide_weights(config) -> jnp.ndarray:
+    """Guidance weight(s) from a planner config as a traced-friendly array:
+    [2] composition weights when `config.compose`, else the scalar CFG
+    weight. Planners pass this as a jit ARGUMENT (not a closed-over
+    constant) so weight sweeps reuse one compilation."""
+    if getattr(config, "compose", False):
+        return jnp.asarray(config.compose_weights, jnp.float32)
+    return jnp.float32(config.cfg_weight)
+
+
 def cfg_fold(cond_latents: jnp.ndarray, w: float) -> GuidanceFold:
     """cond_latents: [S, C] (or [1, S, C]) scene latents for one scene."""
     cond_latents = cond_latents.reshape(cond_latents.shape[-2], cond_latents.shape[-1])

@@ -21,12 +21,16 @@ python scripts/inference_dynamic.py --dataset dataset/EnvPredator_v2 \
     --checkpoints artifacts/weights/predator_v2_60k.npz \
     --n-contexts 50 --n-experiments 4 --n-samples 35 \
     --results eval_results_dynamic_60k.json \
-    > logs/eval_dynamic_60k.out 2>&1
+    > logs/eval_dynamic_60k.out 2>&1 || echo "60k eval FAILED"
 python - <<'EOF'
 import json
-a = json.load(open("eval_results_dynamic.json"))["aggregate"]
-b = json.load(open("eval_results_dynamic_60k.json"))["aggregate"]
-print("120k:", {k: a[k] for k in ("score", "goal_success_rate", "capture_rate")})
-print(" 60k:", {k: b[k] for k in ("score", "goal_success_rate", "capture_rate")})
+for name, path in (("120k", "eval_results_dynamic.json"),
+                   ("60k", "eval_results_dynamic_60k.json")):
+    try:
+        a = json.load(open(path))["aggregate"]
+        print(name, {k: a[k] for k in ("score", "goal_success_rate",
+                                       "capture_rate")})
+    except Exception as e:
+        print(name, "unavailable:", e)
 EOF
 log "dynamic A/B done"

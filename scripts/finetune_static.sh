@@ -23,10 +23,15 @@ for leg in 60000 120000; do
   python scripts/train.py --dataset $DS --checkpoints $CKPT \
       --init-weights artifacts/weights/simple2d_v2.npz --batch-size 128 \
       --steps $leg --log-file logs/simple2d_v2ft.jsonl \
-      > logs/simple2d_v2ft.out 2>&1 || { echo "train leg $leg FAILED"; break; }
+      > logs/simple2d_v2ft.out 2>&1 || { echo "train leg $leg FAILED"; exit 1; }
   log "export at step $leg"
+  # per-leg snapshot so a later leg (or a round boundary wiping
+  # checkpoints/) cannot destroy the earlier one
   python scripts/export_weights.py --checkpoints $CKPT --dataset $DS \
-      --out artifacts/weights/simple2d_v2_ft.npz >> logs/simple2d_v2ft.out 2>&1
+      --out artifacts/weights/simple2d_v2_ft_${leg}.npz \
+      >> logs/simple2d_v2ft.out 2>&1
+  cp artifacts/weights/simple2d_v2_ft_${leg}.npz \
+     artifacts/weights/simple2d_v2_ft.npz
 done
 
 log "eval fine-tuned plain grid (parity w=2)"

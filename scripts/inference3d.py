@@ -87,14 +87,17 @@ def main():
 
     from ramp_tpu.eval.metrics import (compute_collision_intensity_3d,
                                        compute_path_length_3d)
-    meta = dataset.metadata
+    # idx is a trajectory index; idx=0 belongs to task 0, whose metadata
+    # carries THIS scene's sphere geometry (dataset.metadata would be the
+    # last task's and mix scenes)
+    meta = dataset.task_metadata[0]
     box_centers = np.asarray(dataset.box_centers[idx])
     box_sizes = np.asarray(dataset.box_sizes[idx])
     sph_c = meta.get("sphere_centers")
     sph_r = meta.get("sphere_radii")
     if compose:
         # a composed plan must clear the union of both obstacle sets
-        om = other.metadata
+        om = other.task_metadata[0]
         box_centers = np.concatenate([box_centers,
                                       np.asarray(other.box_centers[0])])
         box_sizes = np.concatenate([box_sizes,
@@ -126,7 +129,7 @@ def main():
     if args.plots_dir:
         os.makedirs(args.plots_dir, exist_ok=True)
         from ramp_tpu.eval.visualization import save_3d_plot
-        meta = dataset.metadata
+        meta = dataset.task_metadata[0]
         save_3d_plot(os.path.join(args.plots_dir, "plan3d.png"), trajs,
                      dataset.box_centers[idx], dataset.box_sizes[idx],
                      sphere_centers=meta.get("sphere_centers"),

@@ -95,12 +95,21 @@ def main():
     n_obs, n_pts = dataset.obstacle_points.shape[1:3]
     schedule = planner.schedule
 
-    if args.init_weights:
+    def _has_resumable_checkpoint() -> bool:
+        d = args.checkpoints
+        if args.no_resume or not d or not os.path.isdir(d):
+            return False
+        return any(s.isdigit() for s in os.listdir(d))
+
+    if args.init_weights and not _has_resumable_checkpoint():
         from ramp_tpu.utils.checkpoints import load_planner_params
         params = load_planner_params(planner, args.init_weights, n_obs, n_pts,
                                      seed=args.seed)
         print(f"initialized params from {args.init_weights}")
     else:
+        if args.init_weights:
+            print(f"--init-weights {args.init_weights} skipped: "
+                  f"{args.checkpoints} has a checkpoint to resume from")
         params = planner.init_params(jax.random.PRNGKey(args.seed), n_obs, n_pts)
 
     batch_size = args.batch_size or 16 * n_dev

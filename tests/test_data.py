@@ -111,3 +111,23 @@ def test_normalizer_from_reference_root(tmp_path):
     np.testing.assert_allclose(dab.normalizer.maxs, da.normalizer.maxs)
     # multi-root task identity is unambiguous
     assert len(set(dab.task_dirs)) == len(dab.task_dirs)
+
+
+def test_task_metadata_is_per_task(tmp_path):
+    """Sphere geometry varies per task dir; dataset.task_metadata must keep
+    each task's own metadata (regression: a single dataset-level dict held
+    only the LAST task's spheres, so 3-D collision metrics checked task 0's
+    boxes against task N's spheres)."""
+    from ramp_tpu.data.generator import generate_dataset_3d
+    from ramp_tpu.data.dataset import TrajectoryDataset
+    out = str(tmp_path / "ds3d2")
+    generate_dataset_3d(out, n_tasks=2, n_trajs_per_task=2, horizon=16,
+                        points_per_obstacle=8, n_boxes=3, n_spheres=2, seed=0)
+    ds = TrajectoryDataset(out, include_velocity=True)
+    assert len(ds.task_metadata) == 2
+    c0 = np.asarray(ds.task_metadata[0]["sphere_centers"])
+    c1 = np.asarray(ds.task_metadata[1]["sphere_centers"])
+    assert c0.shape == c1.shape and not np.allclose(c0, c1)
+    # legacy aggregate view keeps the last task's metadata
+    np.testing.assert_allclose(
+        np.asarray(ds.metadata["sphere_centers"]), c1)

@@ -284,3 +284,11 @@ def test_static_planner_guide_weight_traced():
     xB, _ = pB.plan(params, key, pts, start, goal, n_samples=2)
     assert not np.allclose(np.asarray(xA), np.asarray(xB))
     assert len(pA._plan_jit) == 1 and len(pB._plan_jit) == 1
+    # the teeth: push BOTH weights through pA's one cached jit entry — a
+    # baked-constant implementation has no weight argument and fails here,
+    # and identical outputs mean the argument isn't reaching the fold
+    jitted = pA._plan_jit[(2, True)]
+    x2, _ = jitted(params, key, pts, start, goal, jnp.float32(2.0))
+    x6, _ = jitted(params, key, pts, start, goal, jnp.float32(6.0))
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(xA), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(x6), np.asarray(xB), atol=1e-6)

@@ -65,3 +65,13 @@ def test_ddim_timesteps_table():
                                   np.array([80, 60, 40, 20, 0]))
     np.testing.assert_array_equal(ddim_timesteps(100, 8),
                                   np.array([84, 72, 60, 48, 36, 24, 12, 0]))
+
+
+def test_ddim_timesteps_validates_range():
+    import pytest
+    from ramp_tpu.core.schedules import ddim_timesteps
+    with pytest.raises(ValueError):
+        ddim_timesteps(100, 150)  # ratio would truncate to 0 (no-op sampler)
+    with pytest.raises(ValueError):
+        ddim_timesteps(100, 0)
+    assert ddim_timesteps(100, 100).tolist()[0] == 99
