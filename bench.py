@@ -88,11 +88,30 @@ def measure_replan(config=None, n_samples: int = 64, K: int = 16,
 
 
 def main() -> None:
-    from ramp_tpu.utils.platform import enable_compilation_cache
-    enable_compilation_cache()
+    import os
+    from ramp_tpu.utils import platform as plat
+    plat.enable_compilation_cache()
+
+    # The TPU here lives behind a TCP relay; if the relay is down,
+    # jax.devices() blocks forever. Never hang the driver's bench run: wait a
+    # bounded time for the accelerator, then fall back to a clearly-marked
+    # tiny-model CPU measurement so a valid JSON line is always emitted.
+    cpu_fallback = False
+    if not plat.accelerator_available():
+        wait_s = float(os.environ.get("RAMP_BENCH_TUNNEL_WAIT_S", "900"))
+        if not plat.wait_for_accelerator(wait_s):
+            plat.set_platform("cpu")
+            cpu_fallback = True
 
     n_samples = 64
-    m = measure_replan(n_samples=n_samples)
+    if cpu_fallback:
+        from ramp_tpu.planners.static import StaticPlannerConfig
+        tiny = StaticPlannerConfig(use_apf=True, horizon=16,
+                                   n_diffusion_steps=10, unet_input_dim=8,
+                                   unet_dim_mults_option=0, dtype="float32")
+        m = measure_replan(tiny, n_samples=n_samples, K=8, n_iters=5)
+    else:
+        m = measure_replan(n_samples=n_samples)
     per_replan = m["per_replan_ms"]
     result = {
         "metric": "p50_replan_latency_64traj",
@@ -113,6 +132,10 @@ def main() -> None:
             "apf": True,
         },
     }
+    if cpu_fallback:
+        result["extra"]["platform_fallback"] = (
+            "TPU tunnel unavailable after bounded wait; tiny-model CPU "
+            "measurement — NOT comparable to the 50 ms v5e target")
     print(json.dumps(result))
 
 
