@@ -1,0 +1,172 @@
+"""Planning service — the deployment/serving surface over the static planner.
+
+The reference has no serving layer (its closest artifact is the vendored,
+never-imported ZMQ robot interface, `deps/storm/.../zmq_robot_interface.py`);
+its planners only run inside offline eval scripts. For a TPU-hosted planner
+the natural production shape is one warm process per chip: compile once at
+startup, keep parameters resident in HBM, serialize device calls behind a
+lock (one chip = one executor), and serve JSON over HTTP from host threads.
+
+Request/response contract (POST /plan):
+    {"obstacle_points": [O][P][2],      # world coords, same layout as training
+     "start": [state_dim], "goal": [state_dim],   # world coords
+     "n_samples": int?,                 # default from the service
+     "seed": int?,                      # per-request determinism
+     "box_centers": [[..]]?, "box_sizes": [[..]]?}  # optional: adds metrics
+->  {"trajectories": [N][H][state_dim], # world coords
+     "t_plan_ms": float, "n_samples": N,
+     "success": 0/1?, "collision_intensity": %?, "best": int?}  # if geometry
+
+GET /healthz -> {"status": "ok", "device": ..., "warm_shapes": [...]}.
+
+Shapes (n_obstacles, n_points, n_samples) are jit specializations: the first
+request at a new shape pays a compile; `warm()` pre-pays the expected one.
+"""
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ramp_tpu.eval.metrics import (
+    compute_collision_intensity, trajectory_success_and_metrics,
+)
+
+
+class PlanningService:
+    """Thread-safe wrapper: normalize -> jitted plan -> unnormalize (+score)."""
+
+    def __init__(self, planner, params, normalizer,
+                 default_n_samples: int = 20):
+        self.planner = planner
+        self.params = params
+        self.normalizer = normalizer
+        self.default_n_samples = default_n_samples
+        self._device_lock = threading.Lock()
+        self._counter = 0
+        self._warm_shapes: set = set()
+
+    def warm(self, n_obstacles: int, n_points: int,
+             n_samples: Optional[int] = None) -> float:
+        """Pre-compile for an expected request shape; returns seconds spent."""
+        n_samples = n_samples or self.default_n_samples
+        pts = np.zeros((n_obstacles, n_points, 2), np.float32)
+        sd = self.planner.config.state_dim
+        t0 = time.perf_counter()
+        self.plan(pts, np.zeros(sd, np.float32), np.zeros(sd, np.float32),
+                  n_samples=n_samples, seed=0)
+        return time.perf_counter() - t0
+
+    def plan(self, obstacle_points, start, goal,
+             n_samples: Optional[int] = None, seed: Optional[int] = None,
+             box_centers=None, box_sizes=None) -> Dict:
+        n_samples = int(n_samples or self.default_n_samples)
+        pts = np.asarray(obstacle_points, np.float32)
+        sd = self.planner.config.state_dim
+        start = np.asarray(start, np.float32)
+        goal = np.asarray(goal, np.float32)
+        if start.shape != (sd,) or goal.shape != (sd,):
+            raise ValueError(f"start/goal must have shape ({sd},), got "
+                             f"{start.shape}/{goal.shape}")
+        if pts.ndim != 3 or pts.shape[-1] != 2:
+            raise ValueError(f"obstacle_points must be [O, P, 2], got {pts.shape}")
+
+        start_n = np.asarray(self.normalizer.normalize(start), np.float32)
+        goal_n = np.asarray(self.normalizer.normalize(goal), np.float32)
+        plan_fn = self.planner.plan_fn(n_samples, return_chain=False)
+
+        with self._device_lock:
+            if seed is None:
+                seed = self._counter
+            self._counter += 1
+            key = jax.random.PRNGKey(int(seed))
+            t0 = time.perf_counter()
+            trajs_n, _ = plan_fn(self.params, key, jnp.asarray(pts),
+                                 jnp.asarray(start_n), jnp.asarray(goal_n))
+            trajs_n = jax.block_until_ready(trajs_n)
+            t_plan = time.perf_counter() - t0
+        self._warm_shapes.add((pts.shape[0], pts.shape[1], n_samples))
+
+        trajs = np.asarray(self.normalizer.unnormalize(trajs_n))
+        out = {"trajectories": trajs, "t_plan_ms": round(t_plan * 1e3, 3),
+               "n_samples": n_samples}
+        if box_centers is not None and box_sizes is not None:
+            ci = np.asarray(compute_collision_intensity(
+                trajs, np.asarray(box_centers), np.asarray(box_sizes)))
+            m = trajectory_success_and_metrics(trajs, ci)
+            out["success"] = m["success"]
+            out["collision_intensity"] = m["collision_intensity"]
+            free = np.where(ci <= 0.01)[0]
+            # best = shortest collision-free trajectory, else least-colliding
+            if len(free):
+                lens = np.linalg.norm(np.diff(trajs[free, :, :2], axis=1),
+                                      axis=-1).sum(axis=1)
+                out["best"] = int(free[np.argmin(lens)])
+            else:
+                out["best"] = int(np.argmin(ci))
+        return out
+
+    def health(self) -> Dict:
+        return {"status": "ok",
+                "device": str(jax.devices()[0]),
+                "warm_shapes": sorted(self._warm_shapes),
+                "requests_served": self._counter}
+
+
+def _make_handler(service: PlanningService):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: Dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):  # quiet; service logs are JSONL
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, service.health())
+            else:
+                self._send(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/plan":
+                self._send(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+            except (ValueError, json.JSONDecodeError) as e:
+                self._send(400, {"error": f"bad JSON: {e}"})
+                return
+            try:
+                out = service.plan(
+                    req["obstacle_points"], req["start"], req["goal"],
+                    n_samples=req.get("n_samples"), seed=req.get("seed"),
+                    box_centers=req.get("box_centers"),
+                    box_sizes=req.get("box_sizes"))
+            except KeyError as e:
+                self._send(400, {"error": f"missing field {e}"})
+                return
+            except ValueError as e:
+                self._send(400, {"error": str(e)})
+                return
+            out["trajectories"] = np.asarray(out["trajectories"]).tolist()
+            self._send(200, out)
+
+    return Handler
+
+
+def make_http_server(service: PlanningService, host: str = "127.0.0.1",
+                     port: int = 8000) -> ThreadingHTTPServer:
+    """Threaded HTTP server; device calls serialize on the service lock."""
+    return ThreadingHTTPServer((host, port), _make_handler(service))

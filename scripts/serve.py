@@ -1,0 +1,81 @@
+"""Serve the static planner over HTTP — one warm process per chip.
+
+    python scripts/serve.py --dataset dataset/EnvSimple2dquant_v2 \
+        --checkpoints artifacts/weights/simple2d_v2.npz --port 8500
+
+    curl -s localhost:8500/healthz
+    curl -s -X POST localhost:8500/plan -d '{"obstacle_points": [[[0.1,0.2], ...]],
+        "start": [-0.9,-0.9,0,0], "goal": [0.9,0.9,0,0], "n_samples": 20}'
+
+The dataset supplies the trained normalizer and the expected scene shape
+(like the eval CLIs); requests and responses are in world coordinates.
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--checkpoints", default=None)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8500)
+    p.add_argument("--n-samples", type=int, default=20,
+                   help="default trajectory population per request")
+    p.add_argument("--use-apf", action="store_true")
+    p.add_argument("--ddim-steps", type=int, default=None)
+    p.add_argument("--cfg-weight", type=float, default=None)
+    p.add_argument("--unet-dim", type=int, default=32)
+    p.add_argument("--dim-mults-option", type=int, default=1, choices=[0, 1])
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no-warm", action="store_true",
+                   help="skip startup compilation (first request pays it)")
+    args = p.parse_args()
+
+    from ramp_tpu.utils.platform import enable_compilation_cache, set_platform
+    set_platform(args.platform)
+    enable_compilation_cache()
+
+    from ramp_tpu.data.dataset import TrajectoryDataset
+    from ramp_tpu.planners.static import StaticPlanner, StaticPlannerConfig
+    from ramp_tpu.utils.checkpoints import load_planner_params
+    from ramp_tpu.serve import PlanningService, make_http_server
+
+    dataset = TrajectoryDataset(args.dataset, include_velocity=True)
+    overrides = {}
+    if args.ddim_steps is not None:
+        overrides["ddim_steps_override"] = args.ddim_steps
+    if args.cfg_weight is not None:
+        overrides["cfg_weight"] = args.cfg_weight
+    cfg = StaticPlannerConfig(horizon=dataset.horizon,
+                              state_dim=dataset.state_dim,
+                              unet_input_dim=args.unet_dim,
+                              unet_dim_mults_option=args.dim_mults_option,
+                              use_apf=args.use_apf, **overrides)
+    planner = StaticPlanner(cfg)
+    n_obs, n_pts = dataset.obstacle_points.shape[1:3]
+    params = load_planner_params(planner, args.checkpoints, n_obs, n_pts,
+                                 seed=args.seed)
+
+    service = PlanningService(planner, params, dataset.normalizer,
+                              default_n_samples=args.n_samples)
+    if not args.no_warm:
+        print(json.dumps({"event": "warming", "shape": [n_obs, n_pts],
+                          "n_samples": args.n_samples}), flush=True)
+        secs = service.warm(n_obs, n_pts)
+        print(json.dumps({"event": "warm", "seconds": round(secs, 1)}),
+              flush=True)
+
+    server = make_http_server(service, args.host, args.port)
+    print(json.dumps({"event": "serving",
+                      "url": f"http://{args.host}:{args.port}"}), flush=True)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

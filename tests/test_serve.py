@@ -1,0 +1,103 @@
+"""Serving layer: PlanningService request handling + the HTTP surface.
+
+One tiny planner compile is shared by the whole module via a session fixture.
+"""
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from ramp_tpu.core.normalization import LimitsNormalizer
+from ramp_tpu.planners.static import StaticPlanner, StaticPlannerConfig
+from ramp_tpu.serve import PlanningService, make_http_server
+
+N_OBS, N_PTS, SD = 4, 8, 4
+
+
+@pytest.fixture(scope="module")
+def service():
+    cfg = StaticPlannerConfig(horizon=16, n_diffusion_steps=10,
+                              unet_input_dim=8, unet_dim_mults_option=0,
+                              dtype="float32")
+    planner = StaticPlanner(cfg)
+    params = planner.init_params(jax.random.PRNGKey(0), N_OBS, N_PTS)
+    svc = PlanningService(planner, params, LimitsNormalizer.fixed(SD),
+                          default_n_samples=3)
+    svc.warm(N_OBS, N_PTS)
+    return svc
+
+
+def _pts():
+    return np.random.default_rng(0).uniform(-0.8, 0.8, (N_OBS, N_PTS, 2))
+
+
+def test_plan_shapes_and_determinism(service):
+    out = service.plan(_pts(), [-0.9, -0.9, 0, 0], [0.9, 0.9, 0, 0], seed=7)
+    trajs = np.asarray(out["trajectories"])
+    assert trajs.shape == (3, 16, SD)
+    assert np.isfinite(trajs).all()
+    assert out["t_plan_ms"] > 0
+    # endpoints pinned (unnormalized world coords)
+    np.testing.assert_allclose(trajs[:, 0, :2], [[-0.9, -0.9]] * 3, atol=1e-5)
+    np.testing.assert_allclose(trajs[:, -1, :2], [[0.9, 0.9]] * 3, atol=1e-5)
+    # same seed -> identical plan; different seed -> different plan
+    out2 = service.plan(_pts(), [-0.9, -0.9, 0, 0], [0.9, 0.9, 0, 0], seed=7)
+    np.testing.assert_array_equal(trajs, np.asarray(out2["trajectories"]))
+    out3 = service.plan(_pts(), [-0.9, -0.9, 0, 0], [0.9, 0.9, 0, 0], seed=8)
+    assert not np.array_equal(trajs, np.asarray(out3["trajectories"]))
+
+
+def test_plan_with_geometry_scores(service):
+    out = service.plan(_pts(), [-0.9, -0.9, 0, 0], [0.9, 0.9, 0, 0], seed=1,
+                       box_centers=[[0.0, 0.0]], box_sizes=[[0.3, 0.3]])
+    assert out["success"] in (0, 1)
+    assert 0 <= out["best"] < 3
+    assert out["collision_intensity"] >= 0
+
+
+def test_plan_validates_shapes(service):
+    with pytest.raises(ValueError, match="start/goal"):
+        service.plan(_pts(), [0.0, 0.0], [0.9, 0.9, 0, 0])
+    with pytest.raises(ValueError, match="obstacle_points"):
+        service.plan(np.zeros((N_OBS, N_PTS, 3)), [0] * SD, [0] * SD)
+
+
+def test_http_server_end_to_end(service):
+    server = make_http_server(service, "127.0.0.1", 0)  # ephemeral port
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok"
+        assert [N_OBS, N_PTS, 3] in [list(s) for s in health["warm_shapes"]]
+
+        req = {"obstacle_points": _pts().tolist(),
+               "start": [-0.9, -0.9, 0, 0], "goal": [0.9, 0.9, 0, 0],
+               "seed": 3, "box_centers": [[0.0, 0.0]],
+               "box_sizes": [[0.3, 0.3]]}
+        data = json.dumps(req).encode()
+        with urllib.request.urlopen(urllib.request.Request(
+                f"http://127.0.0.1:{port}/plan", data=data,
+                headers={"Content-Type": "application/json"}),
+                timeout=120) as r:
+            out = json.loads(r.read())
+        assert np.asarray(out["trajectories"]).shape == (3, 16, SD)
+        assert "best" in out and "t_plan_ms" in out
+
+        # error paths: missing field -> 400; bad path -> 404; bad JSON -> 400
+        for body, path, code in ((b"{}", "/plan", 400),
+                                 (data, "/nope", 404),
+                                 (b"{not json", "/plan", 400)):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(urllib.request.Request(
+                    f"http://127.0.0.1:{port}{path}", data=body), timeout=30)
+            assert ei.value.code == code
+    finally:
+        server.shutdown()
+        server.server_close()
