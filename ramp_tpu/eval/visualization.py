@@ -96,16 +96,13 @@ def save_dynamic_gif(path: str, chains: Dict[str, np.ndarray], box_centers,
     plt.close(fig)
 
 
-def save_3d_plot(path: str, trajs: np.ndarray, box_centers, box_sizes,
-                 sphere_centers=None, sphere_radii=None,
-                 start=None, goal=None) -> None:
-    """3-D scene render (ref inference3d.py:158-381, minus the rotation GIF)."""
-    fig = plt.figure(figsize=(7, 7))
-    ax = fig.add_subplot(projection="3d")
+def _draw_3d_scene(ax, trajs, box_centers, box_sizes,
+                   sphere_centers=None, sphere_radii=None,
+                   start=None, goal=None) -> None:
+    import itertools
     for c, s in zip(np.asarray(box_centers), np.asarray(box_sizes)):
         # wireframe box
         r = [[-1, 1]] * 3
-        import itertools
         corners = np.array(list(itertools.product(*r))) * np.asarray(s) / 2 + c
         for i, j in itertools.combinations(range(8), 2):
             if np.sum(np.abs(corners[i] - corners[j]) > 1e-9) == 1:
@@ -120,5 +117,40 @@ def save_3d_plot(path: str, trajs: np.ndarray, box_centers, box_sizes,
     if goal is not None:
         ax.scatter(*goal[:3], c="r", s=80, marker="*")
     ax.set_xlim(-1, 1); ax.set_ylim(-1, 1); ax.set_zlim(-1, 1)
+
+
+def save_3d_plot(path: str, trajs: np.ndarray, box_centers, box_sizes,
+                 sphere_centers=None, sphere_radii=None,
+                 start=None, goal=None) -> None:
+    """3-D scene render (ref inference3d.py:158-381, still frame)."""
+    fig = plt.figure(figsize=(7, 7))
+    ax = fig.add_subplot(projection="3d")
+    _draw_3d_scene(ax, trajs, box_centers, box_sizes, sphere_centers,
+                   sphere_radii, start, goal)
     fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+
+
+def save_3d_gif(path: str, trajs: np.ndarray, box_centers, box_sizes,
+                sphere_centers=None, sphere_radii=None,
+                start=None, goal=None, n_frames: int = 36,
+                fps: int = 9, elev: float = 25.0) -> None:
+    """Rotating 3-D render — parity with the reference's azimuth-sweep GIF
+    (ref inference3d.py:339-369: elev=25, azimuth swept over 360 deg,
+    PillowWriter; the reference uses 201 frames at 20 fps — fewer frames here
+    by default to keep the artifact small, override `n_frames`/`fps` for the
+    exact look)."""
+    from matplotlib.animation import FuncAnimation, PillowWriter
+
+    fig = plt.figure(figsize=(7, 7))
+    ax = fig.add_subplot(projection="3d")
+    _draw_3d_scene(ax, trajs, box_centers, box_sizes, sphere_centers,
+                   sphere_radii, start, goal)
+
+    def frame(k):
+        ax.view_init(elev=elev, azim=360.0 * k / n_frames)
+        return []
+
+    anim = FuncAnimation(fig, frame, frames=n_frames, interval=1000 // fps)
+    anim.save(path, writer=PillowWriter(fps=fps))
     plt.close(fig)

@@ -5,6 +5,12 @@ composition, single start/goal demos.
 
   python scripts/inference3d.py --dataset dataset/EnvSmall3D \
       --checkpoints checkpoints/maze3d
+
+Beyond the reference (whose harness renders exactly one scene with the
+dataset's own start/goal): `--max-envs`/`--n-contexts` evaluate a grid of
+scenes x contexts, where context 0 is the dataset demo pair (parity) and
+further contexts are fresh start/goal pairs rejection-sampled in the free
+space of the scene (outside boxes and spheres, min separation 1.0).
 """
 import argparse
 import os
@@ -31,8 +37,17 @@ def main():
                         "(ref inference3d.py:49-79)")
     p.add_argument("--checkpoints", default=None)
     p.add_argument("--n-samples", type=int, default=1)
+    p.add_argument("--max-envs", type=int, default=1,
+                   help="number of scenes to evaluate (reference: 1)")
+    p.add_argument("--n-contexts", type=int, default=1,
+                   help="contexts per scene; context 0 is the dataset's own "
+                        "start/goal (reference parity), the rest are sampled "
+                        "in free space")
     p.add_argument("--results", default="eval_results_3d.json")
     p.add_argument("--plots-dir", default=None)
+    p.add_argument("--gif", action="store_true",
+                   help="also save the rotating-azimuth GIF "
+                        "(ref inference3d.py:339-369) next to the PNG")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--unet-dim", type=int, default=32)
     p.add_argument("--dim-mults-option", type=int, default=1, choices=[0, 1])
@@ -62,80 +77,156 @@ def main():
     params = load_planner_params(planner, args.checkpoints, n_obs, n_pts,
                                  seed=args.seed)
 
-    idx = 0
-    obstacle_pts = dataset.obstacle_points[idx]
-    if compose:
-        other = TrajectoryDataset(args.compose_dataset, include_velocity=True)
-        obstacle_pts = np.stack([obstacle_pts, other.obstacle_points[0]])
-
-    hc = dataset.hard_conds(idx)
-    start = jnp.asarray(hc["start"], jnp.float32)
-    goal = jnp.asarray(hc["goal"], jnp.float32)
-
-    key = jax.random.PRNGKey(args.seed)
-    # warmup/compile then timed run (ref torch.compile+warmup inference3d.py:122)
-    x, _ = planner.plan(params, key, jnp.asarray(obstacle_pts), start, goal,
-                        n_samples=args.n_samples, return_chain=False)
-    jax.block_until_ready(x)
-    with Timer() as t:
-        x, _ = planner.plan(params, jax.random.split(key)[0],
-                            jnp.asarray(obstacle_pts), start, goal,
-                            n_samples=args.n_samples, return_chain=False)
-        jax.block_until_ready(x)
-
-    trajs = np.asarray(dataset.normalizer.unnormalize(x))
+    other = (TrajectoryDataset(args.compose_dataset, include_velocity=True)
+             if compose else None)
 
     from ramp_tpu.eval.metrics import (compute_collision_intensity_3d,
                                        compute_path_length_3d)
-    # idx is a trajectory index; idx=0 belongs to task 0, whose metadata
-    # carries THIS scene's sphere geometry (dataset.metadata would be the
-    # last task's and mix scenes)
-    meta = dataset.task_metadata[0]
-    box_centers = np.asarray(dataset.box_centers[idx])
-    box_sizes = np.asarray(dataset.box_sizes[idx])
-    sph_c = meta.get("sphere_centers")
-    sph_r = meta.get("sphere_radii")
-    if compose:
-        # a composed plan must clear the union of both obstacle sets
-        om = other.task_metadata[0]
-        box_centers = np.concatenate([box_centers,
-                                      np.asarray(other.box_centers[0])])
-        box_sizes = np.concatenate([box_sizes,
-                                    np.asarray(other.box_sizes[0])])
-        if om.get("sphere_centers") is not None:
-            sph_c = (np.concatenate([np.asarray(sph_c),
-                                     np.asarray(om["sphere_centers"])])
-                     if sph_c is not None else om["sphere_centers"])
-            sph_r = (np.concatenate([np.asarray(sph_r).reshape(-1),
-                                     np.asarray(om["sphere_radii"]).reshape(-1)])
-                     if sph_r is not None else om["sphere_radii"])
-    ci = np.asarray(compute_collision_intensity_3d(
-        trajs, box_centers, box_sizes, sph_c, sph_r))
-    free = ci <= 0.01
-    pl = np.asarray(compute_path_length_3d(trajs[free])) if free.any() else None
-    result = {"t_sampling_s": t.elapsed, "n_samples": args.n_samples,
-              "compose": compose,
-              "goal_error": float(np.linalg.norm(
-                  trajs[0, -1, :3] - np.asarray(
-                      dataset.normalizer.unnormalize(goal))[:3])),
-              "collision_intensity_pct": float(ci.mean() * 100),
-              "success": int(free.any()),
-              "n_free_trajectories": int(free.sum()),
-              "path_length_mean": float(pl.mean()) if pl is not None else None}
+
+    def scene_geometry(task_id: int, traj_idx: int):
+        """Per-task box+sphere geometry; in compose mode a plan must clear
+        the UNION of both obstacle sets. (task_metadata, not
+        dataset.metadata — the latter is the last task's and mixes scenes.)"""
+        meta = dataset.task_metadata[task_id]
+        box_centers = np.asarray(dataset.box_centers[traj_idx])
+        box_sizes = np.asarray(dataset.box_sizes[traj_idx])
+        sph_c = meta.get("sphere_centers")
+        sph_r = meta.get("sphere_radii")
+        if compose:
+            om = other.task_metadata[0]
+            box_centers = np.concatenate([box_centers,
+                                          np.asarray(other.box_centers[0])])
+            box_sizes = np.concatenate([box_sizes,
+                                        np.asarray(other.box_sizes[0])])
+            if om.get("sphere_centers") is not None:
+                sph_c = (np.concatenate([np.asarray(sph_c),
+                                         np.asarray(om["sphere_centers"])])
+                         if sph_c is not None else om["sphere_centers"])
+                sph_r = (np.concatenate([np.asarray(sph_r).reshape(-1),
+                                         np.asarray(om["sphere_radii"]).reshape(-1)])
+                         if sph_r is not None else om["sphere_radii"])
+        return box_centers, box_sizes, sph_c, sph_r
+
+    def sample_free_point(rng, box_c, box_s, sph_c, sph_r, margin=0.05):
+        for _ in range(2000):
+            pt = rng.uniform(-0.9, 0.9, 3)
+            in_box = np.all(np.abs(pt - box_c) <= box_s / 2 + margin,
+                            axis=-1).any() if len(box_c) else False
+            in_sph = False
+            if sph_c is not None and len(np.asarray(sph_c)):
+                in_sph = (np.linalg.norm(pt - np.asarray(sph_c), axis=-1)
+                          <= np.asarray(sph_r).reshape(-1) + margin).any()
+            if not in_box and not in_sph:
+                return pt
+        raise RuntimeError("no free point found in 2000 draws")
+
+    rng = np.random.default_rng(args.seed)
+    key = jax.random.PRNGKey(args.seed)
+    pos_dim = dataset.state_dim // 2 if dataset.include_velocity \
+        else dataset.state_dim
+    task_ids = list(dataset.map_task_id_to_trajectories_id)[:args.max_envs]
+
+    per_env, rows = {}, []
+    for tid in task_ids:
+        traj_idx = int(dataset.map_task_id_to_trajectories_id[tid][0])
+        obstacle_pts = dataset.obstacle_points[traj_idx]
+        if compose:
+            obstacle_pts = np.stack([obstacle_pts, other.obstacle_points[0]])
+        box_c, box_s, sph_c, sph_r = scene_geometry(tid, traj_idx)
+
+        ctx_rows = []
+        for c in range(args.n_contexts):
+            if c == 0:  # the dataset's own demo pair (reference parity)
+                hc = dataset.hard_conds(traj_idx)
+                start_n, goal_n = hc["start"], hc["goal"]
+            else:
+                st = sample_free_point(rng, box_c, box_s, sph_c, sph_r)
+                gl = sample_free_point(rng, box_c, box_s, sph_c, sph_r)
+                while np.linalg.norm(gl - st) < 1.0:
+                    gl = sample_free_point(rng, box_c, box_s, sph_c, sph_r)
+                state = np.zeros(dataset.state_dim, np.float32)
+                state[:pos_dim] = st
+                start_n = np.asarray(dataset.normalizer.normalize(state),
+                                     np.float32)
+                state[:pos_dim] = gl
+                goal_n = np.asarray(dataset.normalizer.normalize(state),
+                                    np.float32)
+            start = jnp.asarray(start_n, jnp.float32)
+            goal = jnp.asarray(goal_n, jnp.float32)
+
+            key, k = jax.random.split(key)
+            with Timer() as t:  # first call pays the one shared compile
+                x, _ = planner.plan(params, k, jnp.asarray(obstacle_pts),
+                                    start, goal, n_samples=args.n_samples,
+                                    return_chain=False)
+                jax.block_until_ready(x)
+
+            trajs = np.asarray(dataset.normalizer.unnormalize(x))
+            ci = np.asarray(compute_collision_intensity_3d(
+                trajs, box_c, box_s, sph_c, sph_r))
+            free = ci <= 0.01
+            pl = (np.asarray(compute_path_length_3d(trajs[free]))
+                  if free.any() else None)
+            row = {"t_sampling_s": t.elapsed,
+                   "goal_error": float(np.linalg.norm(
+                       trajs[0, -1, :3] - np.asarray(
+                           dataset.normalizer.unnormalize(goal))[:3])),
+                   "collision_intensity_pct": float(ci.mean() * 100),
+                   "success": int(free.any()),
+                   "n_free_trajectories": int(free.sum()),
+                   "path_length_mean": (float(pl.mean())
+                                        if pl is not None else None)}
+            ctx_rows.append(row)
+            rows.append(row)
+        per_env[str(tid)] = {
+            "success_rate": float(np.mean([r["success"] for r in ctx_rows])),
+            "collision_intensity_pct": float(np.mean(
+                [r["collision_intensity_pct"] for r in ctx_rows])),
+            "contexts": ctx_rows}
+
+    pls = [r["path_length_mean"] for r in rows
+           if r["path_length_mean"] is not None]
+    aggregate = {
+        "success": float(np.mean([r["success"] for r in rows])),
+        "collision_intensity_pct": float(np.mean(
+            [r["collision_intensity_pct"] for r in rows])),
+        "goal_error": float(np.mean([r["goal_error"] for r in rows])),
+        "path_length_mean": float(np.mean(pls)) if pls else None,
+        "n_free_trajectories": int(np.sum(
+            [r["n_free_trajectories"] for r in rows])),
+        # p50 excludes the first (compile-bearing) call when there are
+        # enough cells; with one cell it is that cell's wall time
+        "t_sampling_p50_s": float(np.median(
+            [r["t_sampling_s"] for r in rows[1:]] or
+            [rows[0]["t_sampling_s"]])),
+        "n_samples": args.n_samples, "compose": compose,
+        "n_envs": len(task_ids), "n_contexts": args.n_contexts}
+    result = {**aggregate, "per_env": per_env} \
+        if (args.max_envs > 1 or args.n_contexts > 1) else \
+        {**{k: v for k, v in rows[0].items()},
+         "n_samples": args.n_samples, "compose": compose}
     with open(args.results, "w") as f:
         json.dump(result, f, indent=2)
-    print(json.dumps(result, indent=2))
+    print(json.dumps(aggregate, indent=2))
 
     if args.plots_dir:
+        # render the LAST evaluated cell (trajs/start/goal/tid still bound)
         os.makedirs(args.plots_dir, exist_ok=True)
         from ramp_tpu.eval.visualization import save_3d_plot
-        meta = dataset.task_metadata[0]
+        meta = dataset.task_metadata[tid]
+        plot_kwargs = dict(
+            sphere_centers=meta.get("sphere_centers"),
+            sphere_radii=meta.get("sphere_radii"),
+            start=np.asarray(dataset.normalizer.unnormalize(start)),
+            goal=np.asarray(dataset.normalizer.unnormalize(goal)))
         save_3d_plot(os.path.join(args.plots_dir, "plan3d.png"), trajs,
-                     dataset.box_centers[idx], dataset.box_sizes[idx],
-                     sphere_centers=meta.get("sphere_centers"),
-                     sphere_radii=meta.get("sphere_radii"),
-                     start=np.asarray(dataset.normalizer.unnormalize(start)),
-                     goal=np.asarray(dataset.normalizer.unnormalize(goal)))
+                     dataset.box_centers[traj_idx], dataset.box_sizes[traj_idx],
+                     **plot_kwargs)
+        if args.gif:
+            from ramp_tpu.eval.visualization import save_3d_gif
+            save_3d_gif(os.path.join(args.plots_dir, "plan3d.gif"), trajs,
+                        dataset.box_centers[traj_idx],
+                        dataset.box_sizes[traj_idx], **plot_kwargs)
 
 
 if __name__ == "__main__":

@@ -111,6 +111,15 @@ def test_visualizers_write_files(tmp_path):
                      start=np.asarray([-0.9] * 3), goal=np.asarray([0.9] * 3))
     assert p3d.stat().st_size > 0
 
+    g3d = tmp_path / "scene3d.gif"
+    viz.save_3d_gif(str(g3d), t3, np.asarray([[0.0, 0.0, 0.0]]),
+                    np.asarray([[0.3, 0.3, 0.3]]),
+                    sphere_centers=np.asarray([[0.5, 0.5, 0.5]]),
+                    sphere_radii=np.asarray([0.2]),
+                    start=np.asarray([-0.9] * 3), goal=np.asarray([0.9] * 3),
+                    n_frames=3, fps=3)
+    assert g3d.stat().st_size > 0
+
 
 def test_timer_and_timed():
     from ramp_tpu.utils.timer import Timer, timed
