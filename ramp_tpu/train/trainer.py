@@ -32,6 +32,58 @@ from ramp_tpu.train.state import TrainConfig, TrainState, create_train_state, em
 logger = logging.getLogger("ramp_tpu.train")
 
 
+class PreemptionGuard:
+    """Graceful-preemption handling for TPU training jobs.
+
+    The reference has no failure/preemption handling at all (SURVEY §5: its
+    closest artifact is an NCCL port-retry at init, `trainddp.py:31-65`). On
+    Cloud TPU, maintenance events and scheduler preemptions deliver SIGTERM
+    with a short grace window; this guard turns that into a clean exit: the
+    first SIGTERM/SIGINT sets a flag, the training loop saves a checkpoint at
+    the next step boundary and returns, and the (always-implemented here)
+    orbax resume picks up exactly where it left off on reschedule.
+
+    Usage: `with PreemptionGuard() as guard:` then poll `guard.triggered`.
+    A second signal restores the default handler behavior (i.e. die now).
+    No-op (never triggers) when not on the main thread, where Python forbids
+    installing signal handlers.
+    """
+
+    def __init__(self, signums=None):
+        import signal
+        self._signal = signal
+        self.signums = tuple(signums) if signums is not None else (
+            signal.SIGTERM, signal.SIGINT)
+        self.triggered = False
+        self._prev = {}
+
+    def _handler(self, signum, frame):
+        if self.triggered:  # second signal: stop shielding, act like default
+            self._restore()
+            self._signal.raise_signal(signum)
+            return
+        self.triggered = True
+        logger.warning("signal %d received: finishing the current step, "
+                       "checkpointing, and exiting cleanly", signum)
+
+    def _restore(self):
+        for signum, prev in self._prev.items():
+            self._signal.signal(signum, prev)
+        self._prev = {}
+
+    def __enter__(self):
+        try:
+            for s in self.signums:
+                self._prev[s] = self._signal.signal(s, self._handler)
+        except ValueError:  # not the main thread: run unguarded
+            self._restore()
+        return self
+
+    def __exit__(self, *exc):
+        self._restore()
+        return False
+
+
 class EarlyStopper:
     """Patience-based early stopping on a monitored loss.
 
@@ -276,32 +328,39 @@ class Trainer:
         t_last = time.perf_counter()
         start_step = int(state.step)
         staged = prefetch_to_device(data_iter, self.mesh)
-        for host_step in range(start_step, num_steps):
-            batch = next(staged)
-            key, k_step = jax.random.split(key)
-            state, metrics = self.train_step(state, k_step, batch)
-            # host-side step counter: reading state.step would force a device
-            # sync every iteration (a fixed ~25 ms tick on some runtimes)
-            step = host_step + 1
-            if step % config.steps_til_summary == 0:
-                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
-                now = time.perf_counter()
-                rec = {"step": step, "time_per_step": (now - t_last) / config.steps_til_summary,
-                       **m}
-                if summary_fn is not None:
-                    rec.update(summary_fn(state, step))
-                t_last = now
-                logger.info("step %d loss %.5f", step, m["loss"])
-                if log_fh:
-                    log_fh.write(json.dumps(rec) + "\n")
-                    log_fh.flush()
-                if early_stopper is not None and early_stopper.should_stop(m["loss"]):
-                    logger.info("early stop at step %d", step)
+        with PreemptionGuard() as guard:
+            for host_step in range(start_step, num_steps):
+                if guard.triggered:
+                    logger.info("preempted at step %d; final checkpoint "
+                                "follows", host_step)
                     break
-            if self._ckpt_mgr is not None and (
-                    step % config.steps_til_checkpoint == 0
-                    or step % config.steps_til_latest == 0):
-                self.save(state)
+                batch = next(staged)
+                key, k_step = jax.random.split(key)
+                state, metrics = self.train_step(state, k_step, batch)
+                # host-side step counter: reading state.step would force a
+                # device sync every iteration (a fixed ~25 ms tick on some
+                # runtimes)
+                step = host_step + 1
+                if step % config.steps_til_summary == 0:
+                    m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                    now = time.perf_counter()
+                    rec = {"step": step,
+                           "time_per_step": (now - t_last) / config.steps_til_summary,
+                           **m}
+                    if summary_fn is not None:
+                        rec.update(summary_fn(state, step))
+                    t_last = now
+                    logger.info("step %d loss %.5f", step, m["loss"])
+                    if log_fh:
+                        log_fh.write(json.dumps(rec) + "\n")
+                        log_fh.flush()
+                    if early_stopper is not None and early_stopper.should_stop(m["loss"]):
+                        logger.info("early stop at step %d", step)
+                        break
+                if self._ckpt_mgr is not None and (
+                        step % config.steps_til_checkpoint == 0
+                        or step % config.steps_til_latest == 0):
+                    self.save(state)
         if self._ckpt_mgr is not None:
             self.save(state)
         if log_fh:
@@ -358,40 +417,46 @@ class Trainer:
         log_fh = open(log_file, "a") if log_file else None
         t_last = time.perf_counter()
         step = start_step
-        # full dispatch windows; a tail shorter than one window runs per-step
-        while num_steps - step >= steps_per_dispatch:
-            state, metrics = multi(state, base_key, data,
-                                   jnp.asarray(step, jnp.int32))
-            step += steps_per_dispatch
-            m = {kk: float(v) for kk, v in jax.device_get(metrics).items()}
-            now = time.perf_counter()
-            rec = {"step": step,
-                   "time_per_step": (now - t_last) / steps_per_dispatch, **m}
-            t_last = now
-            logger.info("step %d loss %.5f (%.1f ms/step)", step, m["loss"],
-                        1e3 * rec["time_per_step"])
-            if log_fh:
-                log_fh.write(json.dumps(rec) + "\n")
-                log_fh.flush()
-            if self._ckpt_mgr is not None and (
-                    step % config.steps_til_latest < steps_per_dispatch):
-                self.save(state)
-            if early_stopper is not None and early_stopper.should_stop(m["loss"]):
-                logger.info("early stop at step %d", step)
-                num_steps = step  # skip the tail loop as well
-                break
-        if step < num_steps:  # tail smaller than one dispatch window
-            def tail_iter():
-                rng = np.random.default_rng(config.seed + 99)
-                while True:
-                    sel = rng.integers(0, n_items, config.batch_size)
-                    yield {k: np.asarray(v)[sel] for k, v in data_host.items()}
-            staged = prefetch_to_device(tail_iter(), self.mesh)
-            key = jax.random.PRNGKey(config.seed + 1)
-            while step < num_steps:
-                key, k_step = jax.random.split(key)
-                state, _ = self.train_step(state, k_step, next(staged))
-                step += 1
+        with PreemptionGuard() as guard:
+            # full dispatch windows; a tail shorter than one window runs per-step
+            while num_steps - step >= steps_per_dispatch:
+                if guard.triggered:
+                    logger.info("preempted at step %d; final checkpoint follows",
+                                step)
+                    num_steps = step  # skip the tail loop as well
+                    break
+                state, metrics = multi(state, base_key, data,
+                                       jnp.asarray(step, jnp.int32))
+                step += steps_per_dispatch
+                m = {kk: float(v) for kk, v in jax.device_get(metrics).items()}
+                now = time.perf_counter()
+                rec = {"step": step,
+                       "time_per_step": (now - t_last) / steps_per_dispatch, **m}
+                t_last = now
+                logger.info("step %d loss %.5f (%.1f ms/step)", step, m["loss"],
+                            1e3 * rec["time_per_step"])
+                if log_fh:
+                    log_fh.write(json.dumps(rec) + "\n")
+                    log_fh.flush()
+                if self._ckpt_mgr is not None and (
+                        step % config.steps_til_latest < steps_per_dispatch):
+                    self.save(state)
+                if early_stopper is not None and early_stopper.should_stop(m["loss"]):
+                    logger.info("early stop at step %d", step)
+                    num_steps = step  # skip the tail loop as well
+                    break
+            if step < num_steps:  # tail smaller than one dispatch window
+                def tail_iter():
+                    rng = np.random.default_rng(config.seed + 99)
+                    while True:
+                        sel = rng.integers(0, n_items, config.batch_size)
+                        yield {k: np.asarray(v)[sel] for k, v in data_host.items()}
+                staged = prefetch_to_device(tail_iter(), self.mesh)
+                key = jax.random.PRNGKey(config.seed + 1)
+                while step < num_steps and not guard.triggered:
+                    key, k_step = jax.random.split(key)
+                    state, _ = self.train_step(state, k_step, next(staged))
+                    step += 1
         if self._ckpt_mgr is not None:
             self.save(state)
         if log_fh:

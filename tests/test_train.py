@@ -226,3 +226,59 @@ def test_early_stopper_semantics():
     assert not es.should_stop(0.9)   # new min resets
     assert not es.should_stop(1.1)   # 1st regression
     assert es.should_stop(1.2)       # 2nd -> stop
+
+
+def test_preemption_guard_signal_semantics():
+    """First SIGTERM sets the flag without killing the process; handlers are
+    restored on exit."""
+    import os
+    import signal
+
+    from ramp_tpu.train.trainer import PreemptionGuard
+
+    before = signal.getsignal(signal.SIGTERM)
+    with PreemptionGuard() as guard:
+        assert not guard.triggered
+        os.kill(os.getpid(), signal.SIGTERM)
+        assert guard.triggered          # still alive, flag set
+    assert signal.getsignal(signal.SIGTERM) is before
+
+
+def test_fit_checkpoints_and_exits_on_sigterm(tmp_path):
+    """A SIGTERM mid-training makes `fit` stop at a step boundary, write a
+    checkpoint, and a rerun resumes from it (the elastic-recovery story the
+    reference lacks entirely, SURVEY §5)."""
+    import os
+    import signal
+
+    from ramp_tpu.train.trainer import Trainer
+
+    unet, enc, params = tiny_modules()
+    sch = make_schedule("exponential", 20)
+    cfg = TrainConfig(steps_til_summary=1000, steps_til_checkpoint=10**6,
+                      steps_til_latest=10**6)
+    trainer = Trainer(unet, enc, sch, cfg, checkpoint_dir=str(tmp_path),
+                      use_mesh=False)
+
+    sent = {"n": 0}
+
+    def data_iter():
+        i = 0
+        while True:
+            sent["n"] += 1
+            if sent["n"] == 3:
+                os.kill(os.getpid(), signal.SIGTERM)
+            yield batch(i % 3)
+            i += 1
+
+    state = trainer.fit(params, data_iter(), num_steps=10_000, resume=False)
+    stopped_at = int(state.step)
+    assert 0 < stopped_at < 10_000
+    assert trainer._ckpt_mgr.latest_step() == stopped_at
+
+    # reschedule: resume picks up exactly where the preempted run saved.
+    # Fresh init params, as a rescheduled process would have (the first run's
+    # were donated into the jitted step).
+    _, _, params2 = tiny_modules()
+    state2 = trainer.fit(params2, data_iter(), num_steps=stopped_at + 2)
+    assert int(state2.step) == stopped_at + 2
