@@ -108,14 +108,23 @@ class Planner3D:
             resample_steps=cfg.resample_steps,
             return_chain=return_chain)
 
-    def plan(self, params, key, obstacle_pts, start, goal, n_samples: int = 1,
-             return_chain: bool = True):
+    def plan_fn(self, n_samples: int, return_chain: bool = True):
+        """Jitted plan callable with the (params, key, pts, start, goal)
+        signature; the guidance weight is injected as a traced argument (see
+        `StaticPlanner.plan_fn`)."""
         sig = (n_samples, return_chain)
         if sig not in self._plan_jit:
             self._plan_jit[sig] = jax.jit(
                 partial(self._plan, n_samples=n_samples, return_chain=return_chain))
-        return self._plan_jit[sig](params, key, obstacle_pts, start, goal,
-                                   self._guide_w())
+        jitted = self._plan_jit[sig]
+        w = self._guide_w()
+        return lambda params, key, pts, start, goal: jitted(
+            params, key, pts, start, goal, w)
+
+    def plan(self, params, key, obstacle_pts, start, goal, n_samples: int = 1,
+             return_chain: bool = True):
+        return self.plan_fn(n_samples, return_chain)(
+            params, key, obstacle_pts, start, goal)
 
     def plan_fn_sharded(self, n_samples: int, mesh, return_chain: bool = False):
         """Trajectory population sharded over the mesh's `data` axis (see

@@ -8,11 +8,15 @@ startup, keep parameters resident in HBM, serialize device calls behind a
 lock (one chip = one executor), and serve JSON over HTTP from host threads.
 
 Request/response contract (POST /plan):
-    {"obstacle_points": [O][P][2],      # world coords, same layout as training
+    {"obstacle_points": [O][P][d],      # world coords, same layout as training
      "start": [state_dim], "goal": [state_dim],   # world coords
      "n_samples": int?,                 # default from the service
      "seed": int?,                      # per-request determinism
-     "box_centers": [[..]]?, "box_sizes": [[..]]?}  # optional: adds metrics
+     "box_centers": [[..]]?, "box_sizes": [[..]]?,  # optional: adds metrics
+     "sphere_centers": [[..]]?, "sphere_radii": [..]?}  # 3-D family only
+
+The point/workspace dimensionality d is fixed per service (2 for the static
+2-D planner, 3 for the 3-D planner — `scripts/serve.py --family`).
 ->  {"trajectories": [N][H][state_dim], # world coords
      "t_plan_ms": float, "n_samples": N,
      "success": 0/1?, "collision_intensity": %?, "best": int?}  # if geometry
@@ -35,7 +39,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ramp_tpu.eval.metrics import (
-    compute_collision_intensity, trajectory_success_and_metrics,
+    compute_collision_intensity, compute_collision_intensity_3d,
+    trajectory_success_and_metrics,
 )
 
 
@@ -43,8 +48,9 @@ class PlanningService:
     """Thread-safe wrapper: normalize -> jitted plan -> unnormalize (+score)."""
 
     def __init__(self, planner, params, normalizer,
-                 default_n_samples: int = 20):
+                 default_n_samples: int = 20, point_dim: int = 2):
         self.planner = planner
+        self.point_dim = int(point_dim)  # 2 (static 2-D) or 3 (Planner3D)
         self.params = params
         self.normalizer = normalizer
         self.default_n_samples = default_n_samples
@@ -56,7 +62,7 @@ class PlanningService:
              n_samples: Optional[int] = None) -> float:
         """Pre-compile for an expected request shape; returns seconds spent."""
         n_samples = n_samples or self.default_n_samples
-        pts = np.zeros((n_obstacles, n_points, 2), np.float32)
+        pts = np.zeros((n_obstacles, n_points, self.point_dim), np.float32)
         sd = self.planner.config.state_dim
         t0 = time.perf_counter()
         self.plan(pts, np.zeros(sd, np.float32), np.zeros(sd, np.float32),
@@ -65,7 +71,8 @@ class PlanningService:
 
     def plan(self, obstacle_points, start, goal,
              n_samples: Optional[int] = None, seed: Optional[int] = None,
-             box_centers=None, box_sizes=None) -> Dict:
+             box_centers=None, box_sizes=None,
+             sphere_centers=None, sphere_radii=None) -> Dict:
         n_samples = int(n_samples or self.default_n_samples)
         pts = np.asarray(obstacle_points, np.float32)
         sd = self.planner.config.state_dim
@@ -74,8 +81,9 @@ class PlanningService:
         if start.shape != (sd,) or goal.shape != (sd,):
             raise ValueError(f"start/goal must have shape ({sd},), got "
                              f"{start.shape}/{goal.shape}")
-        if pts.ndim != 3 or pts.shape[-1] != 2:
-            raise ValueError(f"obstacle_points must be [O, P, 2], got {pts.shape}")
+        if pts.ndim != 3 or pts.shape[-1] != self.point_dim:
+            raise ValueError(f"obstacle_points must be [O, P, "
+                             f"{self.point_dim}], got {pts.shape}")
 
         start_n = np.asarray(self.normalizer.normalize(start), np.float32)
         goal_n = np.asarray(self.normalizer.normalize(goal), np.float32)
@@ -97,16 +105,22 @@ class PlanningService:
         out = {"trajectories": trajs, "t_plan_ms": round(t_plan * 1e3, 3),
                "n_samples": n_samples}
         if box_centers is not None and box_sizes is not None:
-            ci = np.asarray(compute_collision_intensity(
-                trajs, np.asarray(box_centers), np.asarray(box_sizes)))
+            if self.point_dim == 3:
+                ci = np.asarray(compute_collision_intensity_3d(
+                    trajs, np.asarray(box_centers), np.asarray(box_sizes),
+                    sphere_centers, sphere_radii))
+            else:
+                ci = np.asarray(compute_collision_intensity(
+                    trajs, np.asarray(box_centers), np.asarray(box_sizes)))
             m = trajectory_success_and_metrics(trajs, ci)
             out["success"] = m["success"]
             out["collision_intensity"] = m["collision_intensity"]
             free = np.where(ci <= 0.01)[0]
             # best = shortest collision-free trajectory, else least-colliding
             if len(free):
-                lens = np.linalg.norm(np.diff(trajs[free, :, :2], axis=1),
-                                      axis=-1).sum(axis=1)
+                lens = np.linalg.norm(
+                    np.diff(trajs[free, :, :self.point_dim], axis=1),
+                    axis=-1).sum(axis=1)
                 out["best"] = int(free[np.argmin(lens)])
             else:
                 out["best"] = int(np.argmin(ci))
@@ -153,7 +167,9 @@ def _make_handler(service: PlanningService):
                     req["obstacle_points"], req["start"], req["goal"],
                     n_samples=req.get("n_samples"), seed=req.get("seed"),
                     box_centers=req.get("box_centers"),
-                    box_sizes=req.get("box_sizes"))
+                    box_sizes=req.get("box_sizes"),
+                    sphere_centers=req.get("sphere_centers"),
+                    sphere_radii=req.get("sphere_radii"))
             except KeyError as e:
                 self._send(400, {"error": f"missing field {e}"})
                 return

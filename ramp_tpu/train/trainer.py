@@ -258,8 +258,16 @@ class Trainer:
     def __init__(self, unet_apply: Callable, encoder_apply: Callable,
                  schedule: DiffusionSchedule, config: TrainConfig,
                  checkpoint_dir: Optional[str] = None, mesh=None,
-                 use_mesh: bool = True):
+                 use_mesh: bool = True, tensorboard_dir: Optional[str] = None):
         self.config = config
+        self._tb = None
+        if tensorboard_dir:
+            # Parity with the reference's rank-0 tensorboardX logging
+            # (trainerddp/trainer.py:168-197,263-273). In SPMD there is one
+            # program, so there is no rank gate; JSONL (`log_file=`) stays the
+            # primary machine-readable log and this sink is additive.
+            from torch.utils.tensorboard import SummaryWriter
+            self._tb = SummaryWriter(tensorboard_dir)
         self.mesh = mesh if mesh is not None else (make_mesh() if use_mesh else None)
         self.schedule = schedule
         self._unet_apply = unet_apply
@@ -275,6 +283,17 @@ class Trainer:
                 self.checkpoint_dir,
                 options=ocp.CheckpointManagerOptions(max_to_keep=3,
                                                      create=True))
+
+    # -------------------------------------------------------------- logging
+    def _tb_scalars(self, rec: Dict) -> None:
+        """Mirror one summary record's scalars into TensorBoard."""
+        if self._tb is None:
+            return
+        step = int(rec.get("step", 0))
+        for k, v in rec.items():
+            if k != "step" and isinstance(v, (int, float)):
+                self._tb.add_scalar(k, v, step)
+        self._tb.flush()
 
     # -------------------------------------------------------------- ckpt
     def save(self, state: TrainState):
@@ -354,6 +373,7 @@ class Trainer:
                     if log_fh:
                         log_fh.write(json.dumps(rec) + "\n")
                         log_fh.flush()
+                    self._tb_scalars(rec)
                     if early_stopper is not None and early_stopper.should_stop(m["loss"]):
                         logger.info("early stop at step %d", step)
                         break
@@ -438,6 +458,7 @@ class Trainer:
                 if log_fh:
                     log_fh.write(json.dumps(rec) + "\n")
                     log_fh.flush()
+                self._tb_scalars(rec)
                 if self._ckpt_mgr is not None and (
                         step % config.steps_til_latest < steps_per_dispatch):
                     self.save(state)

@@ -1,4 +1,8 @@
-"""Serve the static planner over HTTP — one warm process per chip.
+"""Serve a planner over HTTP — one warm process per chip.
+
+`--family static` (default) serves the 2-D static planner; `--family 3d`
+serves the 3-D planner (obstacle points become [O][P][3] and requests may
+pass sphere geometry for on-server scoring).
 
     python scripts/serve.py --dataset dataset/EnvSimple2dquant_v2 \
         --checkpoints artifacts/weights/simple2d_v2.npz --port 8500
@@ -21,6 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", required=True)
+    p.add_argument("--family", default="static", choices=["static", "3d"],
+                   help="planner family to serve")
     p.add_argument("--checkpoints", default=None)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8500)
@@ -42,28 +48,42 @@ def main() -> None:
     enable_compilation_cache()
 
     from ramp_tpu.data.dataset import TrajectoryDataset
-    from ramp_tpu.planners.static import StaticPlanner, StaticPlannerConfig
     from ramp_tpu.utils.checkpoints import load_planner_params
     from ramp_tpu.serve import PlanningService, make_http_server
 
     dataset = TrajectoryDataset(args.dataset, include_velocity=True)
     overrides = {}
-    if args.ddim_steps is not None:
-        overrides["ddim_steps_override"] = args.ddim_steps
     if args.cfg_weight is not None:
         overrides["cfg_weight"] = args.cfg_weight
-    cfg = StaticPlannerConfig(horizon=dataset.horizon,
+    if args.family == "3d":
+        from ramp_tpu.planners.planner3d import Planner3D, Planner3DConfig
+        if args.use_apf or args.ddim_steps is not None:
+            p.error("--use-apf/--ddim-steps apply to --family static only")
+        cfg = Planner3DConfig(horizon=dataset.horizon,
                               state_dim=dataset.state_dim,
                               unet_input_dim=args.unet_dim,
                               unet_dim_mults_option=args.dim_mults_option,
-                              use_apf=args.use_apf, **overrides)
-    planner = StaticPlanner(cfg)
+                              **overrides)
+        planner = Planner3D(cfg)
+        point_dim = 3
+    else:
+        from ramp_tpu.planners.static import StaticPlanner, StaticPlannerConfig
+        if args.ddim_steps is not None:
+            overrides["ddim_steps_override"] = args.ddim_steps
+        cfg = StaticPlannerConfig(horizon=dataset.horizon,
+                                  state_dim=dataset.state_dim,
+                                  unet_input_dim=args.unet_dim,
+                                  unet_dim_mults_option=args.dim_mults_option,
+                                  use_apf=args.use_apf, **overrides)
+        planner = StaticPlanner(cfg)
+        point_dim = 2
     n_obs, n_pts = dataset.obstacle_points.shape[1:3]
     params = load_planner_params(planner, args.checkpoints, n_obs, n_pts,
                                  seed=args.seed)
 
     service = PlanningService(planner, params, dataset.normalizer,
-                              default_n_samples=args.n_samples)
+                              default_n_samples=args.n_samples,
+                              point_dim=point_dim)
     if not args.no_warm:
         print(json.dumps({"event": "warming", "shape": [n_obs, n_pts],
                           "n_samples": args.n_samples}), flush=True)

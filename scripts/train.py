@@ -43,6 +43,10 @@ def main():
     p.add_argument("--dim-mults-option", type=int, default=1, choices=[0, 1],
                    help="UNET_DIM_MULTS key (ref UnetInference.py:13)")
     p.add_argument("--log-file", default=None)
+    p.add_argument("--tensorboard-dir", default=None,
+                   help="mirror summary scalars to TensorBoard event files "
+                        "(ref rank-0 tensorboardX, trainerddp/trainer.py:"
+                        "168-197); JSONL --log-file stays the primary log")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--init-weights", default=None,
                    help="initialize model params from an exported .npz weight "
@@ -115,7 +119,8 @@ def main():
     batch_size = args.batch_size or 16 * n_dev
     tcfg = TrainConfig(lr=args.lr, batch_size=batch_size, seed=args.seed)
     trainer = Trainer(planner.unet.apply, planner.encoder.apply, schedule,
-                      tcfg, checkpoint_dir=args.checkpoints, mesh=mesh)
+                      tcfg, checkpoint_dir=args.checkpoints, mesh=mesh,
+                      tensorboard_dir=args.tensorboard_dir)
     if args.host_pipeline:
         data = batch_iterator(dataset, batch_size, seed=args.seed)
         state = trainer.fit(params, data, num_steps=args.steps,

@@ -101,3 +101,30 @@ def test_http_server_end_to_end(service):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_plan_service_3d_family():
+    """`point_dim=3` serves the 3-D planner: [O][P][3] clouds, sphere-aware
+    on-server scoring (scripts/serve.py --family 3d)."""
+    from ramp_tpu.planners.planner3d import Planner3D, Planner3DConfig
+
+    cfg = Planner3DConfig(horizon=16, n_diffusion_steps=8, unet_input_dim=8,
+                          unet_dim_mults_option=0, dtype="float32")
+    planner = Planner3D(cfg)
+    params = planner.init_params(jax.random.PRNGKey(0), 3, 8)
+    svc = PlanningService(planner, params, LimitsNormalizer.fixed(6),
+                          default_n_samples=2, point_dim=3)
+
+    pts = np.random.default_rng(1).uniform(-0.8, 0.8, (3, 8, 3))
+    out = svc.plan(pts, [-0.8, -0.8, -0.8, 0, 0, 0], [0.8, 0.8, 0.8, 0, 0, 0],
+                   seed=2, box_centers=[[0.0, 0.0, 0.0]],
+                   box_sizes=[[0.3, 0.3, 0.3]],
+                   sphere_centers=[[0.5, 0.5, 0.5]], sphere_radii=[0.2])
+    trajs = np.asarray(out["trajectories"])
+    assert trajs.shape == (2, 16, 6)
+    assert np.isfinite(trajs).all()
+    assert out["success"] in (0, 1) and 0 <= out["best"] < 2
+
+    # a 2-D cloud must be rejected by the 3-D service
+    with pytest.raises(ValueError, match="obstacle_points"):
+        svc.plan(np.zeros((3, 8, 2)), [0] * 6, [0] * 6)

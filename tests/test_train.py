@@ -282,3 +282,26 @@ def test_fit_checkpoints_and_exits_on_sigterm(tmp_path):
     _, _, params2 = tiny_modules()
     state2 = trainer.fit(params2, data_iter(), num_steps=stopped_at + 2)
     assert int(state2.step) == stopped_at + 2
+
+
+def test_tensorboard_sink_writes_event_file(tmp_path):
+    """`tensorboard_dir=` mirrors summary scalars into TB event files (the
+    reference's rank-0 tensorboardX logging, trainerddp/trainer.py:168-197)."""
+    from ramp_tpu.train.trainer import Trainer
+
+    unet, enc, params = tiny_modules()
+    sch = make_schedule("exponential", 20)
+    cfg = TrainConfig(steps_til_summary=2, steps_til_checkpoint=10**6,
+                      steps_til_latest=10**6)
+    trainer = Trainer(unet, enc, sch, cfg, use_mesh=False,
+                      tensorboard_dir=str(tmp_path))
+
+    def data_iter():
+        i = 0
+        while True:
+            yield batch(i % 3)
+            i += 1
+
+    trainer.fit(params, data_iter(), num_steps=4, resume=False)
+    events = list(tmp_path.glob("events.out.tfevents.*"))
+    assert events and events[0].stat().st_size > 0
