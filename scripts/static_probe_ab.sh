@@ -16,6 +16,8 @@ if [ -z "${PROBES[0]}" ]; then
     "base|"
     "d5w3|--cfg-weight 3"
     "d5w4|--cfg-weight 4"
+    "d5w5|--cfg-weight 5"
+    "d5w6|--cfg-weight 6"
     "d3w3|--ddim-steps 3 --cfg-weight 3"
   )
 fi
