@@ -110,6 +110,19 @@ class DynamicPlannerConfig:
     attn_impl: str = "default"             # self-attn lowering: default or bnhd
 
 
+class ControllerState(NamedTuple):
+    """Carry for the per-step controller API (`begin_episode` /
+    `controller_step`): the deployment surface, where the pursuer position
+    is OBSERVED by perception each control tick instead of simulated by the
+    eval harness's pursuit dynamics."""
+    x_best: jax.Array    # [H, D] current best plan
+    history: jax.Array   # [H, D] executed-history buffer (row 0 = start)
+    h_count: jax.Array   # scalar: number of valid history rows
+    key: jax.Array       # threaded PRNG key
+    step: jax.Array      # scalar: control-step index
+    done: jax.Array      # scalar bool: goal reached
+
+
 class EpisodeResult(NamedTuple):
     """Per-control-step outputs (fixed length max_iterations)."""
     plans: jax.Array          # [K, H, D] selected plan per step
@@ -482,6 +495,55 @@ class DynamicPlanner:
             valid=valid, n_steps=jnp.sum(valid), high_plan=high_plan)
 
     # ------------------------------------------------------------------ run
+    def _stage2_core(self, params, fold, x_best, history, h_count, stepp,
+                     k_refine, k_replan, endpoints, static_apf_pts,
+                     pursuer_pts, pursuer, goal_state, obstacle_pts_flat,
+                     n_samples):
+        """One STAGE-II control step given a pursuer position: refine the
+        current best plan, select, replan from scratch if nothing is free,
+        pick, and advance the executed history. Shared verbatim by the
+        jitted episode scan (`_run`) and the per-step controller API
+        (`controller_step`) so both execute identical math (ref :552-621)."""
+        cfg = self.config
+        h, d = cfg.horizon, cfg.state_dim
+        x_plan = jnp.broadcast_to(x_best[None], (n_samples, h, d))
+        x = self._refine(params, fold, x_plan, history, h_count, stepp,
+                         k_refine, endpoints, static_apf_pts, pursuer_pts,
+                         pursuer, goal_state)
+        # smoothing window 2 after refinement (ref :589-591)
+        x = _smooth_segment(x, stepp, 2, cfg.smoothing_dt, cfg.smoothing_max_vel)
+        sel = self._select(x, obstacle_pts_flat, pursuer_pts, pursuer,
+                           stepp, cfg.collision_threshold_low)
+
+        def do_replan(_):
+            xr = self._replan_scratch(params, fold, (n_samples, h, d),
+                                      history, h_count, stepp, k_replan,
+                                      endpoints, static_apf_pts, pursuer_pts,
+                                      pursuer, goal_state)
+            return _smooth_segment(xr, stepp, 2, cfg.smoothing_dt,
+                                   cfg.smoothing_max_vel)
+
+        x = jax.lax.cond(sel.any_free, lambda _: x, do_replan, None)
+        sel2 = self._select(x, obstacle_pts_flat, pursuer_pts, pursuer,
+                            stepp, cfg.collision_threshold_low)
+        # final pick; if still nothing free, min collision-count fallback
+        fallback = jnp.argmin(collision_counts(
+            x, obstacle_pts_flat, cfg.collision_threshold_low))
+        pick = jnp.where(sel2.any_free, sel2.best_index, fallback)
+        x_sel = x[pick]
+        x_sel = x_sel.at[0, 2:].set(0.0)  # ref :609
+
+        row = jnp.clip(stepp, 0, h - 1)
+        next_row = jnp.clip(stepp + 1, 0, h - 1)
+        next_state = jax.lax.dynamic_slice(x_sel, (next_row, 0), (1, d))[0]
+        new_history = jax.lax.dynamic_update_slice(
+            history, next_state[None], (next_row, 0))
+        cur_state = jax.lax.dynamic_slice(x_sel, (row, 0), (1, d))[0]
+        # termination: |x[stepp] - goal| < safe_threshold (ref :620-621)
+        reached = jnp.linalg.norm(
+            cur_state[:2] - goal_state[:2]) < cfg.safe_threshold
+        return x_sel, new_history, cur_state, next_state, reached
+
     def _run(self, params, key, obstacle_pts, static_apf_pts, start, goal,
              pursuer_init, guide_w, n_samples: int):
         cfg = self.config
@@ -535,44 +597,12 @@ class DynamicPlanner:
                 k_pts, pursuer, jnp.asarray(cfgc.pursuer_radius),
                 cfgc.points_per_obstacle)
 
-            x_plan = jnp.broadcast_to(carry.x_best[None], (n_samples, h, d))
-            x = self._refine(params, fold, x_plan, carry.history, carry.h_count,
-                             stepp, k_refine, endpoints, static_apf_pts,
-                             pursuer_pts, pursuer, goal_state)
-            # smoothing window 2 after refinement (ref :589-591)
-            x = _smooth_segment(x, stepp, 2, cfgc.smoothing_dt, cfgc.smoothing_max_vel)
-
-            sel = self._select(x, obstacle_pts_flat, pursuer_pts, pursuer,
-                               stepp, cfgc.collision_threshold_low)
-
-            def do_replan(_):
-                xr = self._replan_scratch(params, fold, (n_samples, h, d),
-                                          carry.history, carry.h_count, stepp,
-                                          k_replan, endpoints, static_apf_pts,
-                                          pursuer_pts, pursuer, goal_state)
-                xr = _smooth_segment(xr, stepp, 2, cfgc.smoothing_dt,
-                                     cfgc.smoothing_max_vel)
-                return xr
-
-            x = jax.lax.cond(sel.any_free, lambda _: x, do_replan, None)
-            sel2 = self._select(x, obstacle_pts_flat, pursuer_pts, pursuer,
-                                stepp, cfgc.collision_threshold_low)
-            # final pick; if still nothing free, min collision-count fallback
-            fallback = jnp.argmin(collision_counts(
-                x, obstacle_pts_flat, cfgc.collision_threshold_low))
-            pick = jnp.where(sel2.any_free, sel2.best_index, fallback)
-            x_sel = x[pick]
-            x_sel = x_sel.at[0, 2:].set(0.0)  # ref :609
-
-            next_row = jnp.clip(stepp + 1, 0, h - 1)
-            next_state = jax.lax.dynamic_slice(x_sel, (next_row, 0), (1, d))[0]
-            new_history = jax.lax.dynamic_update_slice(
-                carry.history, next_state[None], (next_row, 0))
-            cur_state = jax.lax.dynamic_slice(x_sel, (row, 0), (1, d))[0]
-
-            # termination: |x[stepp] - goal| < safe_threshold (ref :620-621;
-            # post-increment stepp-1 == this step's row)
-            reached = jnp.linalg.norm(cur_state[:2] - goal_state[:2]) < cfgc.safe_threshold
+            x_sel, new_history, cur_state, next_state, reached = \
+                self._stage2_core(params, fold, carry.x_best, carry.history,
+                                  carry.h_count, stepp, k_refine, k_replan,
+                                  endpoints, static_apf_pts, pursuer_pts,
+                                  pursuer, goal_state, obstacle_pts_flat,
+                                  n_samples)
 
             was_done = carry.done
             new_carry = Carry(
@@ -632,3 +662,92 @@ class DynamicPlanner:
         return self._run_jit[n_samples](params, key, obstacle_pts, static_apf_pts,
                                         start, goal, pursuer_init,
                                         self._guide_w())
+
+    # --------------------------------------------- per-step controller API
+    # The eval engine above simulates the pursuer inside one jitted episode
+    # scan. On a real robot the loop belongs to the controller: each tick,
+    # perception OBSERVES the pursuer and the planner must produce the next
+    # plan. `begin_episode` runs STAGE I once; `controller_step` runs one
+    # STAGE-II replan against the observed pursuer position. Both share the
+    # episode engine's kernels (`_stage2_core`), so given the same pursuer
+    # trajectory they reproduce `run_episode` exactly (tested bitwise).
+
+    def begin_episode(self, params, key, obstacle_pts, start, goal,
+                      n_samples: int = 35):
+        """STAGE I high-level plan (ref :537-549). Returns
+        (ControllerState, high_plan [H, D])."""
+        if not self.config.use_ddim:
+            raise NotImplementedError("controller API requires use_ddim=True")
+        sig = ("begin", n_samples)
+        if sig not in self._run_jit:
+            def begin(params, key, obstacle_pts, start, goal, guide_w):
+                cfg = self.config
+                h, d = cfg.horizon, cfg.state_dim
+                latents = self.encoder.apply(params["encoder"], obstacle_pts[None])
+                fold = cfg_fold(latents[0], guide_w)
+                endpoints = dfn.Endpoints(start=start, goal=goal)
+                obstacle_pts_flat = obstacle_pts.reshape(-1, 2)
+                ts_high = ddim_timesteps(cfg.n_diffusion_steps, cfg.ddim_steps_high)
+                key, k_init = jax.random.split(key)
+                x = jax.random.normal(k_init, (n_samples, h, d), jnp.float32)
+                x = dfn.apply_hard_conditioning(x, endpoints)
+                for t_scalar in ts_high:
+                    x = self._ddim_step(params, fold, x, int(t_scalar), endpoints)
+                sel = select_best_trajectory(x, obstacle_pts,
+                                             cfg.collision_threshold_high)
+                fallback = jnp.argmin(collision_counts(
+                    x, obstacle_pts_flat, cfg.collision_threshold_high))
+                best = jnp.where(sel.any_free, sel.best_index, fallback)
+                high_plan = x[best]
+                history0 = jnp.zeros((h, d)).at[0].set(high_plan[0])
+                state = ControllerState(
+                    x_best=high_plan, history=history0, h_count=jnp.asarray(1),
+                    key=key, step=jnp.asarray(0), done=jnp.asarray(False))
+                return state, high_plan
+            self._run_jit[sig] = jax.jit(begin)
+        return self._run_jit[sig](params, key, obstacle_pts, start, goal,
+                                  self._guide_w())
+
+    def controller_step(self, params, state: ControllerState, pursuer_center,
+                        obstacle_pts, static_apf_pts, goal,
+                        n_samples: int = 35):
+        """One closed-loop control tick against an observed pursuer.
+
+        pursuer_center: [2] observed pursuer position this tick.
+        Returns (new_state, plan [H, D], next_state [D], reached bool):
+        execute toward `next_state` (= plan row step+1), then call again
+        with the next observation. ref :552-621 with the harness's simulated
+        pursuer replaced by the observation.
+        """
+        if not self.config.use_ddim:
+            raise NotImplementedError("controller API requires use_ddim=True")
+        sig = ("ctrl", n_samples)
+        if sig not in self._run_jit:
+            def step_fn(params, state, pursuer_center, obstacle_pts,
+                        static_apf_pts, goal, guide_w):
+                cfg = self.config
+                latents = self.encoder.apply(params["encoder"], obstacle_pts[None])
+                fold = cfg_fold(latents[0], guide_w)
+                # history row 0 is the episode start (set by begin_episode)
+                endpoints = dfn.Endpoints(start=state.history[0], goal=goal)
+                obstacle_pts_flat = obstacle_pts.reshape(-1, 2)
+                stepp = state.step
+                key, k_pts, k_refine, k_replan = jax.random.split(state.key, 4)
+                pursuer_pts = generate_sphere_points(
+                    k_pts, pursuer_center, jnp.asarray(cfg.pursuer_radius),
+                    cfg.points_per_obstacle)
+                x_sel, new_history, _cur, next_state, reached = \
+                    self._stage2_core(params, fold, state.x_best,
+                                      state.history, state.h_count, stepp,
+                                      k_refine, k_replan, endpoints,
+                                      static_apf_pts, pursuer_pts,
+                                      pursuer_center, goal,
+                                      obstacle_pts_flat, n_samples)
+                new_state = ControllerState(
+                    x_best=x_sel, history=new_history,
+                    h_count=state.h_count + 1, key=key, step=stepp + 1,
+                    done=jnp.logical_or(state.done, reached))
+                return new_state, x_sel, next_state, reached
+            self._run_jit[sig] = jax.jit(step_fn)
+        return self._run_jit[sig](params, state, pursuer_center, obstacle_pts,
+                                  static_apf_pts, goal, self._guide_w())

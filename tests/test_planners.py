@@ -292,3 +292,49 @@ def test_static_planner_guide_weight_traced():
     x6, _ = jitted(params, key, pts, start, goal, jnp.float32(6.0))
     np.testing.assert_allclose(np.asarray(x2), np.asarray(xA), atol=1e-6)
     np.testing.assert_allclose(np.asarray(x6), np.asarray(xB), atol=1e-6)
+
+
+def test_controller_api_replays_episode():
+    """begin_episode + controller_step (the deployment surface: observed
+    pursuer per tick) reproduces the jitted episode scan when fed the same
+    pursuer trajectory."""
+    from ramp_tpu.scenes.dynamics import pursuit_step
+
+    cfg = DynamicPlannerConfig(horizon=12, n_diffusion_steps=10,
+                               unet_input_dim=8, unet_dim_mults_option=0,
+                               ddim_steps_high=5, ddim_steps_low=2,
+                               max_iterations=3, points_per_obstacle=8,
+                               dtype="float32")
+    p = DynamicPlanner(cfg)
+    params = p.init_params(jax.random.PRNGKey(0), n_obstacles=4, n_points=8)
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (4, 8, 2),
+                             minval=-0.8, maxval=0.8)
+    apf_pts = pts.reshape(-1, 2)
+    start = jnp.asarray([-0.8, -0.8, 0.0, 0.0])
+    goal = jnp.asarray([0.8, 0.8, 0.0, 0.0])
+    pursuer = jnp.asarray([0.0, 0.8])
+
+    result = p.run_episode(params, jax.random.PRNGKey(2), pts, apf_pts,
+                           start, goal, pursuer, n_samples=3)
+
+    state, high_plan = p.begin_episode(params, jax.random.PRNGKey(2), pts,
+                                       start, goal, n_samples=3)
+    np.testing.assert_allclose(np.asarray(high_plan),
+                               np.asarray(result.high_plan), atol=1e-5)
+    h = cfg.horizon
+    for k in range(int(result.n_steps)):
+        # reproduce the eval harness's simulated pursuer as the "observation"
+        row = min(k, h - 1)
+        evader_now = state.x_best[row, :2]
+        pursuer = pursuit_step(jnp.asarray(k), pursuer, evader_now,
+                               cfg.pursuit)
+        state, plan, next_state, reached = p.controller_step(
+            params, state, pursuer, pts, apf_pts, goal, n_samples=3)
+        np.testing.assert_allclose(np.asarray(pursuer),
+                                   np.asarray(result.pursuer_centers[k]),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(plan),
+                                   np.asarray(result.plans[k]), atol=2e-4)
+        if bool(reached):
+            break
+    assert np.isfinite(np.asarray(state.x_best)).all()
