@@ -19,6 +19,8 @@ if [ -z "${PROBES[0]}" ]; then
     "d5w5|--cfg-weight 5"
     "d5w6|--cfg-weight 6"
     "d3w3|--ddim-steps 3 --cfg-weight 3"
+    "d3w4|--ddim-steps 3 --cfg-weight 4"
+    "d3w5|--ddim-steps 3 --cfg-weight 5"
   )
 fi
 
