@@ -133,7 +133,117 @@ class PlanningService:
                 "requests_served": self._counter}
 
 
-def _make_handler(service: PlanningService):
+class UnknownEpisode(KeyError):
+    """Raised for an episode_id with no live session (HTTP 404)."""
+
+
+class ControllerService:
+    """Closed-loop pursuit-evasion episodes over HTTP — the deployment
+    surface for `DynamicPlanner.begin_episode`/`controller_step` (one
+    STAGE-II replan per observed pursuer position).
+
+    Contract (all coordinates world-frame; the service normalizes):
+      POST /episode/begin {"obstacle_points": [O][P][2],
+                           "start": [D], "goal": [D],
+                           "apf_points": [M][2]?,   # default: flattened clouds
+                           "seed": int?, "n_samples": int?}
+        -> {"episode_id", "high_plan": [H][D]}
+      POST /episode/step  {"episode_id", "pursuer": [2]}  # observed position
+        -> {"plan": [H][D], "next_state": [D], "reached": 0/1, "step": k}
+      POST /episode/end   {"episode_id"} -> {"ended": true}
+    """
+
+    MAX_SESSIONS = 64
+
+    def __init__(self, planner, params, normalizer,
+                 default_n_samples: int = 35):
+        self.planner = planner
+        self.params = params
+        self.normalizer = normalizer
+        self.default_n_samples = default_n_samples
+        self._device_lock = threading.Lock()
+        self._sessions: Dict[str, Dict] = {}
+        self._counter = 0
+
+    # positions ride the state normalizer: embed [2] into a zero state
+    def _norm_pos(self, xy) -> "jnp.ndarray":
+        sd = self.planner.config.state_dim
+        state = np.zeros(sd, np.float32)
+        state[:2] = np.asarray(xy, np.float32)
+        return jnp.asarray(self.normalizer.normalize(state)[:2], jnp.float32)
+
+    def begin(self, obstacle_points, start, goal, apf_points=None,
+              seed: Optional[int] = None,
+              n_samples: Optional[int] = None) -> Dict:
+        n_samples = int(n_samples or self.default_n_samples)
+        pts = np.asarray(obstacle_points, np.float32)
+        if pts.ndim != 3 or pts.shape[-1] != 2:
+            raise ValueError(f"obstacle_points must be [O, P, 2], got {pts.shape}")
+        sd = self.planner.config.state_dim
+        start = np.asarray(start, np.float32)
+        goal = np.asarray(goal, np.float32)
+        if start.shape != (sd,) or goal.shape != (sd,):
+            raise ValueError(f"start/goal must have shape ({sd},), got "
+                             f"{start.shape}/{goal.shape}")
+        start_n = jnp.asarray(self.normalizer.normalize(start), jnp.float32)
+        goal_n = jnp.asarray(self.normalizer.normalize(goal), jnp.float32)
+        apf = (np.asarray(apf_points, np.float32).reshape(-1, 2)
+               if apf_points is not None else pts.reshape(-1, 2))
+
+        with self._device_lock:
+            if seed is None:
+                seed = self._counter
+            self._counter += 1
+            key = jax.random.PRNGKey(int(seed))
+            state, high_plan = self.planner.begin_episode(
+                self.params, key, jnp.asarray(pts), start_n, goal_n,
+                n_samples=n_samples)
+            jax.block_until_ready(high_plan)
+        # evict finished sessions first, then the oldest, to stay bounded
+        if len(self._sessions) >= self.MAX_SESSIONS:
+            done = [k for k, s in self._sessions.items()
+                    if bool(s["state"].done)]
+            victim = done[0] if done else next(iter(self._sessions))
+            del self._sessions[victim]
+        eid = f"ep{self._counter - 1}"
+        self._sessions[eid] = {
+            "state": state, "obstacle_pts": jnp.asarray(pts),
+            "apf_pts": jnp.asarray(apf), "goal": goal_n,
+            "n_samples": n_samples,
+        }
+        return {"episode_id": eid,
+                "high_plan": np.asarray(
+                    self.normalizer.unnormalize(high_plan)).tolist()}
+
+    def step(self, episode_id: str, pursuer) -> Dict:
+        sess = self._sessions.get(episode_id)
+        if sess is None:
+            raise UnknownEpisode(episode_id)
+        pursuer_n = self._norm_pos(pursuer)
+        with self._device_lock:
+            state, plan, next_state, reached = self.planner.controller_step(
+                self.params, sess["state"], pursuer_n, sess["obstacle_pts"],
+                sess["apf_pts"], sess["goal"], n_samples=sess["n_samples"])
+            jax.block_until_ready(next_state)
+        sess["state"] = state
+        return {"plan": np.asarray(self.normalizer.unnormalize(plan)).tolist(),
+                "next_state": np.asarray(
+                    self.normalizer.unnormalize(next_state)).tolist(),
+                "reached": int(bool(reached)),
+                "step": int(state.step)}
+
+    def end(self, episode_id: str) -> Dict:
+        if self._sessions.pop(episode_id, None) is None:
+            raise UnknownEpisode(episode_id)
+        return {"ended": True}
+
+    def health(self) -> Dict:
+        return {"status": "ok", "device": str(jax.devices()[0]),
+                "open_episodes": len(self._sessions),
+                "episodes_started": self._counter}
+
+
+def _make_handler(service, controller: Optional[ControllerService] = None):
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: Dict) -> None:
             body = json.dumps(payload).encode()
@@ -148,14 +258,14 @@ def _make_handler(service: PlanningService):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._send(200, service.health())
+                h = (service or controller).health()
+                if service is not None and controller is not None:
+                    h.update(controller.health())
+                self._send(200, h)
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
-            if self.path != "/plan":
-                self._send(404, {"error": f"unknown path {self.path}"})
-                return
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
@@ -163,26 +273,46 @@ def _make_handler(service: PlanningService):
                 self._send(400, {"error": f"bad JSON: {e}"})
                 return
             try:
-                out = service.plan(
-                    req["obstacle_points"], req["start"], req["goal"],
-                    n_samples=req.get("n_samples"), seed=req.get("seed"),
-                    box_centers=req.get("box_centers"),
-                    box_sizes=req.get("box_sizes"),
-                    sphere_centers=req.get("sphere_centers"),
-                    sphere_radii=req.get("sphere_radii"))
+                if self.path == "/plan" and service is not None:
+                    out = service.plan(
+                        req["obstacle_points"], req["start"], req["goal"],
+                        n_samples=req.get("n_samples"), seed=req.get("seed"),
+                        box_centers=req.get("box_centers"),
+                        box_sizes=req.get("box_sizes"),
+                        sphere_centers=req.get("sphere_centers"),
+                        sphere_radii=req.get("sphere_radii"))
+                    out["trajectories"] = np.asarray(
+                        out["trajectories"]).tolist()
+                elif self.path == "/episode/begin" and controller is not None:
+                    out = controller.begin(
+                        req["obstacle_points"], req["start"], req["goal"],
+                        apf_points=req.get("apf_points"),
+                        seed=req.get("seed"), n_samples=req.get("n_samples"))
+                elif self.path == "/episode/step" and controller is not None:
+                    out = controller.step(req["episode_id"], req["pursuer"])
+                elif self.path == "/episode/end" and controller is not None:
+                    out = controller.end(req["episode_id"])
+                else:
+                    self._send(404, {"error": f"unknown path {self.path}"})
+                    return
+            except UnknownEpisode as e:
+                self._send(404, {"error": f"unknown episode {e}"})
+                return
             except KeyError as e:
                 self._send(400, {"error": f"missing field {e}"})
                 return
             except ValueError as e:
                 self._send(400, {"error": str(e)})
                 return
-            out["trajectories"] = np.asarray(out["trajectories"]).tolist()
             self._send(200, out)
 
     return Handler
 
 
-def make_http_server(service: PlanningService, host: str = "127.0.0.1",
-                     port: int = 8000) -> ThreadingHTTPServer:
-    """Threaded HTTP server; device calls serialize on the service lock."""
-    return ThreadingHTTPServer((host, port), _make_handler(service))
+def make_http_server(service, host: str = "127.0.0.1",
+                     port: int = 8000,
+                     controller: Optional[ControllerService] = None
+                     ) -> ThreadingHTTPServer:
+    """Threaded HTTP server; device calls serialize on the service locks.
+    `service` handles /plan (may be None); `controller` handles /episode/*."""
+    return ThreadingHTTPServer((host, port), _make_handler(service, controller))

@@ -2,7 +2,9 @@
 
 `--family static` (default) serves the 2-D static planner; `--family 3d`
 serves the 3-D planner (obstacle points become [O][P][3] and requests may
-pass sphere geometry for on-server scoring).
+pass sphere geometry for on-server scoring); `--family dynamic` serves
+closed-loop pursuit-evasion episodes (`POST /episode/begin`, then one
+`POST /episode/step` per observed pursuer position, `/episode/end`).
 
     python scripts/serve.py --dataset dataset/EnvSimple2dquant_v2 \
         --checkpoints artifacts/weights/simple2d_v2.npz --port 8500
@@ -25,7 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", required=True)
-    p.add_argument("--family", default="static", choices=["static", "3d"],
+    p.add_argument("--family", default="static",
+                   choices=["static", "3d", "dynamic"],
                    help="planner family to serve")
     p.add_argument("--checkpoints", default=None)
     p.add_argument("--host", default="127.0.0.1")
@@ -49,13 +52,25 @@ def main() -> None:
 
     from ramp_tpu.data.dataset import TrajectoryDataset
     from ramp_tpu.utils.checkpoints import load_planner_params
-    from ramp_tpu.serve import PlanningService, make_http_server
+    from ramp_tpu.serve import (ControllerService, PlanningService,
+                                make_http_server)
 
     dataset = TrajectoryDataset(args.dataset, include_velocity=True)
     overrides = {}
     if args.cfg_weight is not None:
         overrides["cfg_weight"] = args.cfg_weight
-    if args.family == "3d":
+    if args.family == "dynamic":
+        from ramp_tpu.planners.dynamic import DynamicPlanner, DynamicPlannerConfig
+        if args.use_apf or args.ddim_steps is not None:
+            p.error("--use-apf/--ddim-steps apply to --family static only")
+        cfg = DynamicPlannerConfig(horizon=dataset.horizon,
+                                   state_dim=dataset.state_dim,
+                                   unet_input_dim=args.unet_dim,
+                                   unet_dim_mults_option=args.dim_mults_option,
+                                   **overrides)
+        planner = DynamicPlanner(cfg)
+        point_dim = 2
+    elif args.family == "3d":
         from ramp_tpu.planners.planner3d import Planner3D, Planner3DConfig
         if args.use_apf or args.ddim_steps is not None:
             p.error("--use-apf/--ddim-steps apply to --family static only")
@@ -81,17 +96,39 @@ def main() -> None:
     params = load_planner_params(planner, args.checkpoints, n_obs, n_pts,
                                  seed=args.seed)
 
-    service = PlanningService(planner, params, dataset.normalizer,
-                              default_n_samples=args.n_samples,
-                              point_dim=point_dim)
-    if not args.no_warm:
-        print(json.dumps({"event": "warming", "shape": [n_obs, n_pts],
-                          "n_samples": args.n_samples}), flush=True)
-        secs = service.warm(n_obs, n_pts)
-        print(json.dumps({"event": "warm", "seconds": round(secs, 1)}),
-              flush=True)
+    if args.family == "dynamic":
+        service = None
+        controller = ControllerService(planner, params, dataset.normalizer,
+                                       default_n_samples=args.n_samples)
+        if not args.no_warm:
+            # compile STAGE I + one control step on dummy inputs
+            print(json.dumps({"event": "warming", "shape": [n_obs, n_pts],
+                              "n_samples": args.n_samples}), flush=True)
+            import time as _time
+            t0 = _time.perf_counter()
+            sd = dataset.state_dim
+            out = controller.begin(
+                [[[0.0, 0.0]] * n_pts] * n_obs, [0.0] * sd, [0.0] * sd,
+                seed=0)
+            controller.step(out["episode_id"], [0.0, 0.0])
+            controller.end(out["episode_id"])
+            print(json.dumps({"event": "warm",
+                              "seconds": round(_time.perf_counter() - t0, 1)}),
+                  flush=True)
+    else:
+        controller = None
+        service = PlanningService(planner, params, dataset.normalizer,
+                                  default_n_samples=args.n_samples,
+                                  point_dim=point_dim)
+        if not args.no_warm:
+            print(json.dumps({"event": "warming", "shape": [n_obs, n_pts],
+                              "n_samples": args.n_samples}), flush=True)
+            secs = service.warm(n_obs, n_pts)
+            print(json.dumps({"event": "warm", "seconds": round(secs, 1)}),
+                  flush=True)
 
-    server = make_http_server(service, args.host, args.port)
+    server = make_http_server(service, args.host, args.port,
+                              controller=controller)
     print(json.dumps({"event": "serving",
                       "url": f"http://{args.host}:{args.port}"}), flush=True)
     server.serve_forever()

@@ -128,3 +128,64 @@ def test_plan_service_3d_family():
     # a 2-D cloud must be rejected by the 3-D service
     with pytest.raises(ValueError, match="obstacle_points"):
         svc.plan(np.zeros((3, 8, 2)), [0] * 6, [0] * 6)
+
+
+def test_controller_service_episode_http():
+    """Closed-loop episode sessions over HTTP: /episode/begin -> N x
+    /episode/step with an observed pursuer -> /episode/end."""
+    from ramp_tpu.planners.dynamic import DynamicPlanner, DynamicPlannerConfig
+    from ramp_tpu.serve import ControllerService
+
+    cfg = DynamicPlannerConfig(horizon=12, n_diffusion_steps=10,
+                               unet_input_dim=8, unet_dim_mults_option=0,
+                               ddim_steps_high=5, ddim_steps_low=2,
+                               points_per_obstacle=8, dtype="float32")
+    planner = DynamicPlanner(cfg)
+    params = planner.init_params(jax.random.PRNGKey(0), n_obstacles=4,
+                                 n_points=8)
+    ctrl = ControllerService(planner, params, LimitsNormalizer.fixed(4),
+                             default_n_samples=2)
+
+    server = make_http_server(None, "127.0.0.1", 0, controller=ctrl)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+
+    def post(path, payload, timeout=600):
+        req = urllib.request.Request(f"http://127.0.0.1:{port}{path}",
+                                     data=json.dumps(payload).encode())
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return json.loads(r.read())
+
+    try:
+        pts = np.random.default_rng(2).uniform(-0.8, 0.8, (4, 8, 2)).tolist()
+        out = post("/episode/begin", {"obstacle_points": pts,
+                                      "start": [-0.8, -0.8, 0, 0],
+                                      "goal": [0.8, 0.8, 0, 0], "seed": 4})
+        eid = out["episode_id"]
+        assert np.asarray(out["high_plan"]).shape == (12, 4)
+
+        for k in range(2):
+            s = post("/episode/step", {"episode_id": eid,
+                                       "pursuer": [0.0, 0.8]})
+            assert np.asarray(s["plan"]).shape == (12, 4)
+            assert len(s["next_state"]) == 4
+            assert s["step"] == k + 1
+            assert s["reached"] in (0, 1)
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            h = json.loads(r.read())
+        assert h["open_episodes"] == 1
+
+        assert post("/episode/end", {"episode_id": eid}) == {"ended": True}
+
+        # unknown episode -> 404; missing field -> 400
+        for payload, code in (({"episode_id": eid, "pursuer": [0, 0]}, 404),
+                              ({"pursuer": [0, 0]}, 400)):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                post("/episode/step", payload)
+            assert ei.value.code == code
+    finally:
+        server.shutdown()
+        server.server_close()
