@@ -708,12 +708,27 @@ class DynamicPlanner:
         return self._run_jit[sig](params, key, obstacle_pts, start, goal,
                                   self._guide_w())
 
+    def encode_scene(self, params, obstacle_pts):
+        """Scene latents for a fixed obstacle cloud ([tokens, 320]): compute
+        once per episode and pass to `controller_step` to skip the per-tick
+        encoder forward (the episode engine hoists it the same way)."""
+        sig = ("encode",)
+        if sig not in self._run_jit:
+            self._run_jit[sig] = jax.jit(
+                lambda params, pts: self.encoder.apply(
+                    params["encoder"], pts[None])[0])
+        return self._run_jit[sig](params, obstacle_pts)
+
     def controller_step(self, params, state: ControllerState, pursuer_center,
                         obstacle_pts, static_apf_pts, goal,
-                        n_samples: int = 35):
+                        n_samples: int = 35, scene_latents=None):
         """One closed-loop control tick against an observed pursuer.
 
-        pursuer_center: [2] observed pursuer position this tick.
+        pursuer_center: [2] observed pursuer position this tick, in the same
+        frame as the obstacle clouds (the engine compares trajectory rows to
+        it directly, ref :376; the reference never normalizes either).
+        scene_latents: optional [tokens, 320] from `encode_scene`, skipping
+        the per-tick encoder forward for a fixed scene.
         Returns (new_state, plan [H, D], next_state [D], reached bool):
         execute toward `next_state` (= plan row step+1), then call again
         with the next observation. ref :552-621 with the harness's simulated
@@ -721,13 +736,15 @@ class DynamicPlanner:
         """
         if not self.config.use_ddim:
             raise NotImplementedError("controller API requires use_ddim=True")
-        sig = ("ctrl", n_samples)
+        sig = ("ctrl", n_samples, scene_latents is not None)
         if sig not in self._run_jit:
             def step_fn(params, state, pursuer_center, obstacle_pts,
-                        static_apf_pts, goal, guide_w):
+                        static_apf_pts, goal, guide_w, scene_latents=None):
                 cfg = self.config
-                latents = self.encoder.apply(params["encoder"], obstacle_pts[None])
-                fold = cfg_fold(latents[0], guide_w)
+                if scene_latents is None:
+                    scene_latents = self.encoder.apply(
+                        params["encoder"], obstacle_pts[None])[0]
+                fold = cfg_fold(scene_latents, guide_w)
                 # history row 0 is the episode start (set by begin_episode)
                 endpoints = dfn.Endpoints(start=state.history[0], goal=goal)
                 obstacle_pts_flat = obstacle_pts.reshape(-1, 2)
@@ -749,5 +766,8 @@ class DynamicPlanner:
                     done=jnp.logical_or(state.done, reached))
                 return new_state, x_sel, next_state, reached
             self._run_jit[sig] = jax.jit(step_fn)
-        return self._run_jit[sig](params, state, pursuer_center, obstacle_pts,
-                                  static_apf_pts, goal, self._guide_w())
+        args = (params, state, pursuer_center, obstacle_pts, static_apf_pts,
+                goal, self._guide_w())
+        if scene_latents is not None:
+            return self._run_jit[sig](*args, scene_latents=scene_latents)
+        return self._run_jit[sig](*args)

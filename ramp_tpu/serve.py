@@ -142,7 +142,11 @@ class ControllerService:
     surface for `DynamicPlanner.begin_episode`/`controller_step` (one
     STAGE-II replan per observed pursuer position).
 
-    Contract (all coordinates world-frame; the service normalizes):
+    Contract — start/goal in world coordinates (normalized like training
+    hard-conditions); obstacle/APF points and the observed pursuer position
+    in the dataset frame, exactly as the closed-loop engine and the
+    reference consume them (they are never normalized there; for the
+    predator dataset the frames coincide, limits ~[-1,1]):
       POST /episode/begin {"obstacle_points": [O][P][2],
                            "start": [D], "goal": [D],
                            "apf_points": [M][2]?,   # default: flattened clouds
@@ -151,6 +155,11 @@ class ControllerService:
       POST /episode/step  {"episode_id", "pursuer": [2]}  # observed position
         -> {"plan": [H][D], "next_state": [D], "reached": 0/1, "step": k}
       POST /episode/end   {"episode_id"} -> {"ended": true}
+
+    Scene latents are encoded once per episode at begin() and reused each
+    tick. The device lock serializes chip work AND guards the session map:
+    concurrent steps on one episode execute in order, each from the
+    previous step's state.
     """
 
     MAX_SESSIONS = 64
@@ -164,13 +173,6 @@ class ControllerService:
         self._device_lock = threading.Lock()
         self._sessions: Dict[str, Dict] = {}
         self._counter = 0
-
-    # positions ride the state normalizer: embed [2] into a zero state
-    def _norm_pos(self, xy) -> "jnp.ndarray":
-        sd = self.planner.config.state_dim
-        state = np.zeros(sd, np.float32)
-        state[:2] = np.asarray(xy, np.float32)
-        return jnp.asarray(self.normalizer.normalize(state)[:2], jnp.float32)
 
     def begin(self, obstacle_points, start, goal, apf_points=None,
               seed: Optional[int] = None,
@@ -191,41 +193,45 @@ class ControllerService:
                if apf_points is not None else pts.reshape(-1, 2))
 
         with self._device_lock:
+            eid = f"ep{self._counter}"
             if seed is None:
                 seed = self._counter
             self._counter += 1
             key = jax.random.PRNGKey(int(seed))
+            pts_dev = jnp.asarray(pts)
             state, high_plan = self.planner.begin_episode(
-                self.params, key, jnp.asarray(pts), start_n, goal_n,
+                self.params, key, pts_dev, start_n, goal_n,
                 n_samples=n_samples)
+            latents = self.planner.encode_scene(self.params, pts_dev)
             jax.block_until_ready(high_plan)
-        # evict finished sessions first, then the oldest, to stay bounded
-        if len(self._sessions) >= self.MAX_SESSIONS:
-            done = [k for k, s in self._sessions.items()
-                    if bool(s["state"].done)]
-            victim = done[0] if done else next(iter(self._sessions))
-            del self._sessions[victim]
-        eid = f"ep{self._counter - 1}"
-        self._sessions[eid] = {
-            "state": state, "obstacle_pts": jnp.asarray(pts),
-            "apf_pts": jnp.asarray(apf), "goal": goal_n,
-            "n_samples": n_samples,
-        }
+            # evict finished sessions first, then the oldest, to stay bounded
+            if len(self._sessions) >= self.MAX_SESSIONS:
+                done = [k for k, s in self._sessions.items()
+                        if bool(s["state"].done)]
+                victim = done[0] if done else next(iter(self._sessions))
+                del self._sessions[victim]
+            self._sessions[eid] = {
+                "state": state, "obstacle_pts": pts_dev,
+                "latents": latents,
+                "apf_pts": jnp.asarray(apf), "goal": goal_n,
+                "n_samples": n_samples,
+            }
         return {"episode_id": eid,
                 "high_plan": np.asarray(
                     self.normalizer.unnormalize(high_plan)).tolist()}
 
     def step(self, episode_id: str, pursuer) -> Dict:
-        sess = self._sessions.get(episode_id)
-        if sess is None:
-            raise UnknownEpisode(episode_id)
-        pursuer_n = self._norm_pos(pursuer)
+        pursuer = jnp.asarray(np.asarray(pursuer, np.float32))
         with self._device_lock:
+            sess = self._sessions.get(episode_id)
+            if sess is None:
+                raise UnknownEpisode(episode_id)
             state, plan, next_state, reached = self.planner.controller_step(
-                self.params, sess["state"], pursuer_n, sess["obstacle_pts"],
-                sess["apf_pts"], sess["goal"], n_samples=sess["n_samples"])
+                self.params, sess["state"], pursuer, sess["obstacle_pts"],
+                sess["apf_pts"], sess["goal"], n_samples=sess["n_samples"],
+                scene_latents=sess["latents"])
             jax.block_until_ready(next_state)
-        sess["state"] = state
+            sess["state"] = state
         return {"plan": np.asarray(self.normalizer.unnormalize(plan)).tolist(),
                 "next_state": np.asarray(
                     self.normalizer.unnormalize(next_state)).tolist(),
@@ -233,8 +239,9 @@ class ControllerService:
                 "step": int(state.step)}
 
     def end(self, episode_id: str) -> Dict:
-        if self._sessions.pop(episode_id, None) is None:
-            raise UnknownEpisode(episode_id)
+        with self._device_lock:
+            if self._sessions.pop(episode_id, None) is None:
+                raise UnknownEpisode(episode_id)
         return {"ended": True}
 
     def health(self) -> Dict:
