@@ -41,6 +41,12 @@ def main():
     p.add_argument("--cfg-weight", type=float, default=None,
                    help="override the classifier-free guidance weight "
                         "(default: reference parity w=2)")
+    p.add_argument("--preset", default=None,
+                   choices=["parity", "quality", "fast"],
+                   help="measured knob presets (ramp_tpu/presets.py): "
+                        "quality = DDIM-5 w=5 (best success, same latency); "
+                        "fast = DDIM-3 w=3 (~40%% lower latency); explicit "
+                        "knobs override")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--unet-dim", type=int, default=32)
     p.add_argument("--dim-mults-option", type=int, default=1, choices=[0, 1])
@@ -54,12 +60,15 @@ def main():
 
     dataset = TrajectoryDataset(args.dataset, include_velocity=True)
     from ramp_tpu.guidance.apf import APFParams
+    from ramp_tpu.presets import resolve_static_preset
+    ddim_steps, cfg_weight = resolve_static_preset(
+        args.preset, args.ddim_steps, args.cfg_weight)
     overrides = {}
-    if args.ddim_steps is not None:
-        overrides["ddim_steps_override"] = args.ddim_steps
-    if args.cfg_weight is not None:
-        overrides["cfg_weight"] = args.cfg_weight
-        overrides["compose_weights"] = (args.cfg_weight, args.cfg_weight)
+    if ddim_steps is not None:
+        overrides["ddim_steps_override"] = ddim_steps
+    if cfg_weight is not None:
+        overrides["cfg_weight"] = cfg_weight
+        overrides["compose_weights"] = (cfg_weight, cfg_weight)
     cfg = StaticPlannerConfig(horizon=dataset.horizon,
                               state_dim=dataset.state_dim,
                               unet_input_dim=args.unet_dim,

@@ -37,6 +37,10 @@ def main() -> None:
                    help="default trajectory population per request")
     p.add_argument("--use-apf", action="store_true")
     p.add_argument("--ddim-steps", type=int, default=None)
+    p.add_argument("--preset", default=None,
+                   choices=["parity", "quality", "fast"],
+                   help="measured static-planner knob presets "
+                        "(ramp_tpu/presets.py); --family static only")
     p.add_argument("--cfg-weight", type=float, default=None)
     p.add_argument("--unet-dim", type=int, default=32)
     p.add_argument("--dim-mults-option", type=int, default=1, choices=[0, 1])
@@ -61,8 +65,9 @@ def main() -> None:
         overrides["cfg_weight"] = args.cfg_weight
     if args.family == "dynamic":
         from ramp_tpu.planners.dynamic import DynamicPlanner, DynamicPlannerConfig
-        if args.use_apf or args.ddim_steps is not None:
-            p.error("--use-apf/--ddim-steps apply to --family static only")
+        if args.use_apf or args.ddim_steps is not None or args.preset:
+            p.error("--use-apf/--ddim-steps/--preset apply to "
+                    "--family static only")
         cfg = DynamicPlannerConfig(horizon=dataset.horizon,
                                    state_dim=dataset.state_dim,
                                    unet_input_dim=args.unet_dim,
@@ -72,8 +77,9 @@ def main() -> None:
         point_dim = 2
     elif args.family == "3d":
         from ramp_tpu.planners.planner3d import Planner3D, Planner3DConfig
-        if args.use_apf or args.ddim_steps is not None:
-            p.error("--use-apf/--ddim-steps apply to --family static only")
+        if args.use_apf or args.ddim_steps is not None or args.preset:
+            p.error("--use-apf/--ddim-steps/--preset apply to "
+                    "--family static only")
         cfg = Planner3DConfig(horizon=dataset.horizon,
                               state_dim=dataset.state_dim,
                               unet_input_dim=args.unet_dim,
@@ -83,8 +89,13 @@ def main() -> None:
         point_dim = 3
     else:
         from ramp_tpu.planners.static import StaticPlanner, StaticPlannerConfig
-        if args.ddim_steps is not None:
-            overrides["ddim_steps_override"] = args.ddim_steps
+        from ramp_tpu.presets import resolve_static_preset
+        ddim_steps, cfg_weight = resolve_static_preset(
+            args.preset, args.ddim_steps, args.cfg_weight)
+        if cfg_weight is not None:
+            overrides["cfg_weight"] = cfg_weight
+        if ddim_steps is not None:
+            overrides["ddim_steps_override"] = ddim_steps
         cfg = StaticPlannerConfig(horizon=dataset.horizon,
                                   state_dim=dataset.state_dim,
                                   unet_input_dim=args.unet_dim,
