@@ -42,6 +42,26 @@ def sample_context(rng: np.random.Generator, box_centers, box_sizes,
             "goal": np.concatenate([goal, np.zeros(2, np.float32)])}
 
 
+def sample_free_point_3d(rng: np.random.Generator, box_centers, box_sizes,
+                         sphere_centers=None, sphere_radii=None,
+                         margin: float = 0.05, bound: float = 0.9,
+                         max_tries: int = 2000) -> np.ndarray:
+    """Rejection-sample a point outside every box and sphere (3-D analog of
+    `sample_context`; used by the 3-D grid eval's extra contexts)."""
+    box_centers = np.asarray(box_centers)
+    for _ in range(max_tries):
+        pt = rng.uniform(-bound, bound, 3)
+        in_box = np.all(np.abs(pt - box_centers) <= np.asarray(box_sizes) / 2
+                        + margin, axis=-1).any() if len(box_centers) else False
+        in_sph = False
+        if sphere_centers is not None and len(np.asarray(sphere_centers)):
+            in_sph = (np.linalg.norm(pt - np.asarray(sphere_centers), axis=-1)
+                      <= np.asarray(sphere_radii).reshape(-1) + margin).any()
+        if not in_box and not in_sph:
+            return pt
+    raise RuntimeError(f"no free point found in {max_tries} draws")
+
+
 def compose_split(obstacle_points: np.ndarray,
                   rng: np.random.Generator) -> np.ndarray:
     """Split a 10-obstacle cloud into two equal 6-obstacle sets for energy

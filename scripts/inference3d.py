@@ -107,18 +107,7 @@ def main():
                          if sph_r is not None else om["sphere_radii"])
         return box_centers, box_sizes, sph_c, sph_r
 
-    def sample_free_point(rng, box_c, box_s, sph_c, sph_r, margin=0.05):
-        for _ in range(2000):
-            pt = rng.uniform(-0.9, 0.9, 3)
-            in_box = np.all(np.abs(pt - box_c) <= box_s / 2 + margin,
-                            axis=-1).any() if len(box_c) else False
-            in_sph = False
-            if sph_c is not None and len(np.asarray(sph_c)):
-                in_sph = (np.linalg.norm(pt - np.asarray(sph_c), axis=-1)
-                          <= np.asarray(sph_r).reshape(-1) + margin).any()
-            if not in_box and not in_sph:
-                return pt
-        raise RuntimeError("no free point found in 2000 draws")
+    from ramp_tpu.eval.harness import sample_free_point_3d as sample_free_point
 
     rng = np.random.default_rng(args.seed)
     key = jax.random.PRNGKey(args.seed)
