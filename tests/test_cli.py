@@ -30,3 +30,17 @@ def test_dispatch_reaches_script_argparse():
     r = run("generate-data", "--help")
     assert r.returncode == 0
     assert "--n-tasks" in r.stdout
+
+
+def test_top_level_lazy_exports():
+    import ramp_tpu
+
+    assert "StaticPlanner" in dir(ramp_tpu)
+    planner_cls = ramp_tpu.StaticPlanner
+    assert planner_cls.__name__ == "StaticPlanner"
+    assert ramp_tpu.STATIC_PRESETS["quality"] == {"cfg_weight": 5.0}
+    try:
+        ramp_tpu.NotAThing
+        raise AssertionError("expected AttributeError")
+    except AttributeError:
+        pass
