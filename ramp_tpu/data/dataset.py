@@ -27,7 +27,7 @@ gather into pinned host arrays, per-process strided sharding for multi-host
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterator, List, Optional, Tuple
+from typing import Dict, Iterator, List, Optional
 
 import numpy as np
 

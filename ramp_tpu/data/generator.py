@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import heapq
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 

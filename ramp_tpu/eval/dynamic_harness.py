@@ -9,7 +9,6 @@ fixed-length episode buffers to their valid prefix, scores, and aggregates.
 from __future__ import annotations
 
 import json
-import os
 import time
 from typing import Dict, List, Optional
 

@@ -17,7 +17,7 @@ harnesses.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict
 
 import jax.numpy as jnp
 import numpy as np

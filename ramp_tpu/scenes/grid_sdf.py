@@ -12,7 +12,7 @@ point clouds, not grids.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp

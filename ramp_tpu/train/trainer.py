@@ -16,7 +16,6 @@ import json
 import logging
 import os
 import time
-from functools import partial
 from typing import Callable, Dict, Iterator, Optional
 
 import jax
