@@ -51,6 +51,9 @@ class PlanningService:
                  default_n_samples: int = 20, point_dim: int = 2):
         self.planner = planner
         self.point_dim = int(point_dim)  # 2 (static 2-D) or 3 (Planner3D)
+        # energy composition: requests carry TWO stacked obstacle sets
+        # [2][O][P][d] (ref diffusion_model_static.py:188-216)
+        self.compose = bool(getattr(planner.config, "compose", False))
         self.params = params
         self.normalizer = normalizer
         self.default_n_samples = default_n_samples
@@ -62,7 +65,9 @@ class PlanningService:
              n_samples: Optional[int] = None) -> float:
         """Pre-compile for an expected request shape; returns seconds spent."""
         n_samples = n_samples or self.default_n_samples
-        pts = np.zeros((n_obstacles, n_points, self.point_dim), np.float32)
+        shape = ((2, n_obstacles, n_points, self.point_dim) if self.compose
+                 else (n_obstacles, n_points, self.point_dim))
+        pts = np.zeros(shape, np.float32)
         sd = self.planner.config.state_dim
         t0 = time.perf_counter()
         self.plan(pts, np.zeros(sd, np.float32), np.zeros(sd, np.float32),
@@ -81,7 +86,12 @@ class PlanningService:
         if start.shape != (sd,) or goal.shape != (sd,):
             raise ValueError(f"start/goal must have shape ({sd},), got "
                              f"{start.shape}/{goal.shape}")
-        if pts.ndim != 3 or pts.shape[-1] != self.point_dim:
+        if self.compose:
+            if pts.ndim != 4 or pts.shape[0] != 2 or pts.shape[-1] != self.point_dim:
+                raise ValueError(
+                    f"compose service expects two stacked obstacle sets "
+                    f"[2, O, P, {self.point_dim}], got {pts.shape}")
+        elif pts.ndim != 3 or pts.shape[-1] != self.point_dim:
             raise ValueError(f"obstacle_points must be [O, P, "
                              f"{self.point_dim}], got {pts.shape}")
 
@@ -99,7 +109,7 @@ class PlanningService:
                                  jnp.asarray(start_n), jnp.asarray(goal_n))
             trajs_n = jax.block_until_ready(trajs_n)
             t_plan = time.perf_counter() - t0
-        self._warm_shapes.add((pts.shape[0], pts.shape[1], n_samples))
+        self._warm_shapes.add(tuple(pts.shape[:-1]) + (n_samples,))
 
         trajs = np.asarray(self.normalizer.unnormalize(trajs_n))
         out = {"trajectories": trajs, "t_plan_ms": round(t_plan * 1e3, 3),

@@ -36,6 +36,9 @@ def main() -> None:
     p.add_argument("--n-samples", type=int, default=20,
                    help="default trajectory population per request")
     p.add_argument("--use-apf", action="store_true")
+    p.add_argument("--compose", action="store_true",
+                   help="energy composition: requests carry two stacked "
+                        "obstacle sets [2][O][P][d] (static and 3d families)")
     p.add_argument("--ddim-steps", type=int, default=None)
     p.add_argument("--preset", default=None,
                    choices=["parity", "quality", "fast"],
@@ -65,9 +68,10 @@ def main() -> None:
         overrides["cfg_weight"] = args.cfg_weight
     if args.family == "dynamic":
         from ramp_tpu.planners.dynamic import DynamicPlanner, DynamicPlannerConfig
-        if args.use_apf or args.ddim_steps is not None or args.preset:
-            p.error("--use-apf/--ddim-steps/--preset apply to "
-                    "--family static only")
+        if args.use_apf or args.ddim_steps is not None or args.preset \
+                or args.compose:
+            p.error("--use-apf/--ddim-steps/--preset/--compose apply to "
+                    "the static/3d families only")
         cfg = DynamicPlannerConfig(horizon=dataset.horizon,
                                    state_dim=dataset.state_dim,
                                    unet_input_dim=args.unet_dim,
@@ -84,7 +88,7 @@ def main() -> None:
                               state_dim=dataset.state_dim,
                               unet_input_dim=args.unet_dim,
                               unet_dim_mults_option=args.dim_mults_option,
-                              **overrides)
+                              compose=args.compose, **overrides)
         planner = Planner3D(cfg)
         point_dim = 3
     else:
@@ -100,7 +104,8 @@ def main() -> None:
                                   state_dim=dataset.state_dim,
                                   unet_input_dim=args.unet_dim,
                                   unet_dim_mults_option=args.dim_mults_option,
-                                  use_apf=args.use_apf, **overrides)
+                                  use_apf=args.use_apf, compose=args.compose,
+                                  **overrides)
         planner = StaticPlanner(cfg)
         point_dim = 2
     n_obs, n_pts = dataset.obstacle_points.shape[1:3]

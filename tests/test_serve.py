@@ -189,3 +189,25 @@ def test_controller_service_episode_http():
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_plan_service_compose():
+    """compose=True services take two stacked obstacle sets [2, O, P, 2]
+    (scripts/serve.py --compose) and reject single-set clouds."""
+    cfg = StaticPlannerConfig(horizon=16, n_diffusion_steps=10,
+                              unet_input_dim=8, unet_dim_mults_option=0,
+                              compose=True, dtype="float32")
+    planner = StaticPlanner(cfg)
+    params = planner.init_params(jax.random.PRNGKey(0), N_OBS, N_PTS)
+    svc = PlanningService(planner, params, LimitsNormalizer.fixed(SD),
+                          default_n_samples=2)
+    assert svc.compose
+
+    pts2 = np.stack([_pts(), _pts() + 0.05])
+    out = svc.plan(pts2, [-0.9, -0.9, 0, 0], [0.9, 0.9, 0, 0], seed=3)
+    assert np.asarray(out["trajectories"]).shape == (2, 16, SD)
+    assert (N_OBS, N_PTS, 2) not in svc._warm_shapes  # compose shape recorded
+    assert (2, N_OBS, N_PTS, 2) in svc._warm_shapes
+
+    with pytest.raises(ValueError, match="two stacked obstacle sets"):
+        svc.plan(_pts(), [0] * SD, [0] * SD)
