@@ -3,7 +3,7 @@
 #
 # The axon TPU tunnel died mid-campaign on 2026-08-17; this script waits for
 # the chip to come back and then drains the remaining queue in order:
-#   1. static knob A/B round 2 (d5w4 + d3w3 probes, auto full tuned grid)
+#   1. static knob A/B round 2 (w3..w6 + DDIM-3 rows, auto full tuned grid)
 #   2. static fine-tune 300k -> 420k in two exported legs + eval
 #   3. 3-D plain + compose chip reruns (fixed per-task sphere metrics)
 #   4. fresh bench
@@ -37,6 +37,40 @@ python scripts/inference3d.py --dataset dataset/EnvSmall3D_v2 \
     --compose-dataset dataset/EnvSmall3D_v2b \
     --checkpoints artifacts/weights/planner3d_v2.npz --n-samples 4 \
     --results eval_results_3d_compose.json > logs/eval_3d_compose_rerun.out 2>&1
+
+# 3-D scenes x contexts grids (CPU proxies: parity 0.917, w4 0.933 on 12x5)
+for p in "grid|" "grid_w4|--cfg-weight 4" "grid_w5|--cfg-weight 5"; do
+  name=${p%%|*}; flags=${p#*|}
+  [ -f "eval_results_3d_${name}.json" ] && continue
+  log "3d $name"
+  # shellcheck disable=SC2086
+  python scripts/inference3d.py --dataset dataset/EnvSmall3D_v2 \
+      --checkpoints artifacts/weights/planner3d_v2.npz --n-samples 4 \
+      --max-envs 12 --n-contexts 5 $flags \
+      --results "eval_results_3d_${name}.json" \
+      > "logs/eval_3d_${name}.out" 2>&1 || echo "3d $name FAILED"
+done
+log "3d compose grid"
+[ -f eval_results_3d_grid_compose.json ] || \
+python scripts/inference3d.py --dataset dataset/EnvSmall3D_v2 \
+    --compose-dataset dataset/EnvSmall3D_v2b \
+    --checkpoints artifacts/weights/planner3d_v2.npz --n-samples 4 \
+    --max-envs 12 --n-contexts 5 \
+    --results eval_results_3d_grid_compose.json \
+    > logs/eval_3d_grid_compose.out 2>&1 || echo "3d compose grid FAILED"
+
+# dynamic CFG probe (w=2.5 parity vs w=3.5) on the 20x2 grid
+for p in "dbase|" "dw35|--cfg-weight 3.5"; do
+  name=${p%%|*}; flags=${p#*|}
+  [ -f "eval_results_dynamic_${name}.json" ] && continue
+  log "dynamic $name"
+  # shellcheck disable=SC2086
+  python scripts/inference_dynamic.py --dataset dataset/EnvPredator_v2 \
+      --checkpoints artifacts/weights/predator_v2_60k.npz \
+      --n-contexts 20 --n-experiments 2 --n-samples 35 $flags \
+      --results "eval_results_dynamic_${name}.json" \
+      > "logs/eval_dyn_${name}.out" 2>&1 || echo "dynamic $name FAILED"
+done
 
 python bench.py > logs/bench_post2.json 2>logs/bench_post2.err
 log "chip queue drained"
