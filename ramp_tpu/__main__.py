@@ -42,12 +42,17 @@ def _scripts_dir() -> str:
 
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
-    names = ", ".join(COMMANDS)
+    names = ", ".join(list(COMMANDS) + ["bench"])
     if not argv or argv[0] in ("-h", "--help"):
         print(__doc__.strip())
         print(f"\ncommands: {names}")
         return 0
     cmd, rest = argv[0], argv[1:]
+    if cmd == "bench":  # repo-root benchmark, not under scripts/
+        script = os.path.join(os.path.dirname(_scripts_dir()), "bench.py")
+        sys.argv = ["ramp_tpu bench"] + rest
+        runpy.run_path(script, run_name="__main__")
+        return 0
     if cmd not in COMMANDS:
         print(f"unknown command {cmd!r}; expected one of: {names}",
               file=sys.stderr)
