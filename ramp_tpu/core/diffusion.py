@@ -111,35 +111,28 @@ def ddim_alpha_prod_prev(sch: DiffusionSchedule, t: jax.Array, step_ratio: int,
 
 
 def ddim_step(sch: DiffusionSchedule, x: jax.Array, x_recon: jax.Array,
-              t: jax.Array, step_ratio: int, eta: float = 0.0) -> jax.Array:
+              t: jax.Array, step_ratio: int) -> jax.Array:
     """One deterministic DDIM update (use_clipped_model_output=True path).
 
     ref `diffusion_model_static.py:259-333`: recompute model_output from the
     (clipped / APF-adjusted) x_recon, then
         x_prev = sqrt(a_prev) * x_recon + sqrt(1 - a_prev) * model_output.
-    eta=0 everywhere in the reference, so the stochastic term is omitted.
+    eta=0 everywhere in the reference; a previous eta parameter here shrank
+    the direction term without injecting the matching stochastic noise
+    (neither DDIM(0) nor DDIM(eta)), so it was removed rather than shipped
+    broken.
     """
     alpha_prod_t = extract(sch.alphas_cumprod, t, x.ndim)
     alpha_prod_t_prev = ddim_alpha_prod_prev(sch, t, step_ratio, x.ndim)
     beta_prod_t = 1.0 - alpha_prod_t
     model_output = (x - jnp.sqrt(alpha_prod_t) * x_recon) / jnp.sqrt(beta_prod_t)
-    if eta == 0.0:
-        direction = jnp.sqrt(1.0 - alpha_prod_t_prev) * model_output
-        return jnp.sqrt(alpha_prod_t_prev) * x_recon + direction
-    variance = ((1.0 - alpha_prod_t_prev) / (1.0 - alpha_prod_t)
-                * (1.0 - alpha_prod_t / alpha_prod_t_prev))
-    std_dev_t = eta * jnp.sqrt(variance)
-    direction = jnp.sqrt(1.0 - alpha_prod_t_prev - std_dev_t ** 2) * model_output
+    direction = jnp.sqrt(1.0 - alpha_prod_t_prev) * model_output
     return jnp.sqrt(alpha_prod_t_prev) * x_recon + direction
 
 
-def ddpm_step(sch: DiffusionSchedule, x: jax.Array, x_recon: jax.Array,
-              t: jax.Array, noise: jax.Array, noise_std: jax.Array | float = 1.0) -> jax.Array:
-    """One ancestral DDPM update. ref `sample_functions.py:19-48`.
-
-    `t` here is already clamped to >= 0 by the caller (extra no-noise steps
-    pass t=0); the caller also zeros `noise` where t == 0.
-    """
-    mean, _, log_variance = q_posterior(sch, x_recon, x, t)
-    std = jnp.exp(0.5 * log_variance)
-    return mean + std * noise * noise_std
+# NOTE: there is deliberately no packaged `ddpm_step` here. Every ancestral
+# caller (sampler/ddpm.py `denoise_once`, planners/dynamic.py `_ddpm_step`)
+# must hook guidance into the POSTERIOR MEAN between `q_posterior` and the
+# noise add (ref diffusion_model_static.py:176-185), so a mean-to-sample
+# helper would either hide that hook or be bypassed — the two call sites
+# compose `q_posterior` + noise directly instead.

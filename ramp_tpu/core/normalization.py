@@ -63,7 +63,11 @@ class LimitsNormalizer:
         return 2.0 * x - 1.0
 
     def unnormalize(self, x, eps: float = 1e-4):
-        x = jnp.clip(x, -1.0, 1.0)
+        # ref :152-160: the WHOLE array is clipped only when any element
+        # falls outside [-1-eps, 1+eps]; borderline values within the
+        # tolerance pass through unclipped
+        needs_clip = (jnp.max(x) > 1.0 + eps) | (jnp.min(x) < -1.0 - eps)
+        x = jnp.where(needs_clip, jnp.clip(x, -1.0, 1.0), x)
         x = (x + 1.0) / 2.0
         return x * (self.maxs - self.mins) + self.mins
 
@@ -102,8 +106,29 @@ class IdentityNormalizer:
         return x
 
 
+class SafeLimitsNormalizer:
+    """Factory: LimitsNormalizer with constant dimensions widened by +-eps so
+    a degenerate column (e.g. an always-zero velocity) cannot divide by zero
+    (ref :170-185). Returns a plain (pytree-registered) LimitsNormalizer."""
+
+    @classmethod
+    def fit(cls, x, eps: float = 1.0) -> LimitsNormalizer:
+        return LimitsNormalizer.fit(x, safe=True, eps=eps)
+
+
+class FixedLimitsNormalizer:
+    """Factory: fixed [-1, 1] limits regardless of the data (ref :187-195)."""
+
+    @classmethod
+    def fit(cls, x) -> LimitsNormalizer:
+        dim = flatten_field(np.asarray(x)).shape[-1]
+        return LimitsNormalizer.fixed(dim)
+
+
 NORMALIZERS = {
     "LimitsNormalizer": LimitsNormalizer,
+    "SafeLimitsNormalizer": SafeLimitsNormalizer,
+    "FixedLimitsNormalizer": FixedLimitsNormalizer,
     "GaussianNormalizer": GaussianNormalizer,
     "Identity": IdentityNormalizer,
 }

@@ -153,15 +153,23 @@ def apf_pursuer(traj: jax.Array, pursuer_pts: jax.Array,
                 strength: float,
                 goal: jax.Array,
                 affected_states: Optional[int] = None,
-                goal_blend: float = 0.1) -> jax.Array:
+                goal_blend: float = 0.1,
+                decay_threshold: Optional[float] = None) -> jax.Array:
     """Pursuer avoidance over [0, affected_states) with goal-direction blend.
 
     ref APFhelper_dynamic.py:107-142 (is_dynamic=True path): all rows up to
     `affected_states` (exclusive) are pushed; direction is
     0.9*avoid + 0.1*goal, renormalized. traj: [H, D].
+
+    The reference MASKS pursuer hits with the pred threshold (the dynamic
+    KD-tree's `distance_upper_bound`, :105) but DECAYS the force with the
+    obstacle field's STATIC threshold (`force = strength *
+    exp(-d / obstacle_field.distance_threshold)`, :141) — pass it as
+    `decay_threshold` (defaults to `distance_threshold` when omitted).
     """
     h = traj.shape[0]
     affected = h if affected_states is None else affected_states
+    decay = distance_threshold if decay_threshold is None else decay_threshold
     xy = traj[:, :2]
     dist, nearest = nearest_obstacle(xy, pursuer_pts)
     rows = jnp.arange(h)
@@ -172,6 +180,6 @@ def apf_pursuer(traj: jax.Array, pursuer_pts: jax.Array,
     goal_dir = goal_dir / (jnp.linalg.norm(goal_dir, axis=-1, keepdims=True) + 1e-8)
     combined = (1.0 - goal_blend) * direction + goal_blend * goal_dir
     combined = combined / (jnp.linalg.norm(combined, axis=-1, keepdims=True) + 1e-8)
-    force = strength * jnp.exp(-dist / distance_threshold)
+    force = strength * jnp.exp(-dist / decay)
     update = (in_range & valid)[:, None] * force[:, None] * combined
     return traj.at[:, :2].add(update.astype(traj.dtype))

@@ -26,6 +26,23 @@ def smoothness(trajs: jax.Array) -> jax.Array:
     return jnp.linalg.norm(jnp.diff(vel, axis=-2), axis=-1).sum(-1)
 
 
+def min_distance_to_pointcloud(trajs: jax.Array,
+                               obstacle_points: jax.Array) -> jax.Array:
+    """Per-waypoint distance to the nearest obstacle point: [B, H].
+
+    The |q|^2 + |p|^2 - 2qp expansion rides a matmul (same shape as
+    `guidance.apf.nearest_obstacle`, which additionally needs the argmin
+    point); both collision predicates below derive from this one tile, so
+    back-to-back calls on the same inputs fuse/CSE under jit.
+    """
+    pts = obstacle_points.reshape(-1, obstacle_points.shape[-1]).astype(jnp.float32)
+    xy = trajs[..., :2].astype(jnp.float32)
+    q = xy.reshape(-1, 2)
+    d2 = (jnp.sum(q * q, -1, keepdims=True) + jnp.sum(pts * pts, -1)[None, :]
+          - 2.0 * q @ pts.T)
+    return jnp.sqrt(jnp.maximum(d2, 0.0).min(axis=-1)).reshape(xy.shape[:-1])
+
+
 def collision_with_pointcloud(trajs: jax.Array, obstacle_points: jax.Array,
                               collision_threshold: float = 0.0) -> jax.Array:
     """Per-trajectory collision flag vs an obstacle point cloud.
@@ -33,25 +50,15 @@ def collision_with_pointcloud(trajs: jax.Array, obstacle_points: jax.Array,
     ref cost.py:25-54. trajs: [B, H, D]; obstacle_points: [O, P, 2] (or
     [N, 2]). Returns bool [B].
     """
-    pts = obstacle_points.reshape(-1, obstacle_points.shape[-1]).astype(jnp.float32)
-    xy = trajs[..., :2].astype(jnp.float32)
-    q = xy.reshape(-1, 2)
-    d2 = (jnp.sum(q * q, -1, keepdims=True) + jnp.sum(pts * pts, -1)[None, :]
-          - 2.0 * q @ pts.T)
-    min_d2 = jnp.maximum(d2, 0.0).min(axis=-1).reshape(xy.shape[:-1])  # [B, H]
-    return jnp.any(jnp.sqrt(min_d2) < collision_threshold, axis=-1)
+    min_d = min_distance_to_pointcloud(trajs, obstacle_points)
+    return jnp.any(min_d < collision_threshold, axis=-1)
 
 
 def collision_counts(trajs: jax.Array, obstacle_points: jax.Array,
                      collision_threshold: float = 0.0) -> jax.Array:
     """Number of colliding waypoints per trajectory (fallback ranking when
     no trajectory is collision-free). trajs: [B, H, D] -> int [B]."""
-    pts = obstacle_points.reshape(-1, obstacle_points.shape[-1]).astype(jnp.float32)
-    xy = trajs[..., :2].astype(jnp.float32)
-    q = xy.reshape(-1, 2)
-    d2 = (jnp.sum(q * q, -1, keepdims=True) + jnp.sum(pts * pts, -1)[None, :]
-          - 2.0 * q @ pts.T)
-    min_d = jnp.sqrt(jnp.maximum(d2, 0.0).min(axis=-1)).reshape(xy.shape[:-1])
+    min_d = min_distance_to_pointcloud(trajs, obstacle_points)
     return jnp.sum(min_d < collision_threshold, axis=-1)
 
 

@@ -227,7 +227,8 @@ class DynamicPlanner:
             traj = jax.lax.cond(
                 near,
                 lambda tr: apf_pursuer(tr, pursuer_pts, cfg.apf_threshold_pred,
-                                       cfg.apf_strength_pred, goal_state),
+                                       cfg.apf_strength_pred, goal_state,
+                                       decay_threshold=cfg.apf_threshold_static),
                 lambda tr: tr, traj)
             return traj
 
@@ -344,9 +345,14 @@ class DynamicPlanner:
                                     cfg.ddpm_apf_window_static)
 
                 def near_fn(tr):
+                    # the inline DDPM-path variant decays with the static
+                    # threshold AND blends zero goal direction (1*avoid +
+                    # 0*goal, ref sample_functionsdynamic.py:148-158)
                     tr = apf_pursuer(tr, pursuer_pts,
                                      cfg.ddpm_apf_threshold_pred,
-                                     cfg.ddpm_apf_strength_pred, goal_state)
+                                     cfg.ddpm_apf_strength_pred, goal_state,
+                                     goal_blend=0.0,
+                                     decay_threshold=cfg.ddpm_apf_threshold_static)
                     return apf_windowed(tr, static_apf_pts,
                                         cfg.ddpm_apf_threshold_static,
                                         cfg.ddpm_apf_strength_static,

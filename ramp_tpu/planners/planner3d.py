@@ -19,7 +19,7 @@ from ramp_tpu.core import diffusion as dfn
 from ramp_tpu.core.schedules import make_schedule
 from ramp_tpu.nn.encoders import ObstacleEncoder3D
 from ramp_tpu.nn.unet import TemporalUnet, UNET_DIM_MULTS
-from ramp_tpu.sampler.ddim import ddim_sample_chain
+from ramp_tpu.sampler.ddim import ddim_sample_chain_3d
 from ramp_tpu.sampler.ddpm import ddpm_sample_chain
 from ramp_tpu.sampler.energy import make_eps_fn
 from ramp_tpu.sampler.guidance_fold import (cfg_fold, compose_fold,
@@ -94,10 +94,13 @@ class Planner3D:
         endpoints = dfn.Endpoints(start=start, goal=goal)
         shape = (n_samples, cfg.horizon, cfg.state_dim)
         if cfg.use_ddim:
-            # ref diffusion_model_3d.py:220-257 (eta=0, T//5 steps)
-            return ddim_sample_chain(
+            # the 3-D model's own DDIM variant (ref :220-287): truncated-
+            # linspace grid incl. t=T-1, UNCLIPPED x0, raw-eps direction,
+            # final pair returns x0 — distinct from the static clipped-
+            # recompute DDIM
+            return ddim_sample_chain_3d(
                 self.schedule, self._eps_fn, params["unet"], key, shape,
-                endpoints, fold, cfg.ddim_steps,
+                endpoints, fold,
                 predict_epsilon=cfg.predict_epsilon,
                 return_chain=return_chain)
         return ddpm_sample_chain(

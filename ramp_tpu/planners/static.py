@@ -146,8 +146,12 @@ class StaticPlanner:
                 apf_points=apf_points,
                 return_chain=return_chain)
         else:
+            # the reference's ancestral compose branch has NO avoidance hook:
+            # p_mean_variance_compose returns the bare posterior (ref
+            # diffusion_model_static.py:188-229); only the non-compose
+            # p_mean_variance carries the APF block
             ddpm_apf = cfg.apf._replace(apply_from_step=20, window=5) \
-                if cfg.use_apf else None
+                if (cfg.use_apf and not cfg.compose) else None
             x, chain = ddpm_sample_chain(
                 self.schedule, self._eps_fn, params["unet"], key, shape,
                 endpoints, fold,

@@ -36,28 +36,22 @@ def ddim_sample_chain(sch: DiffusionSchedule,
                       clip_denoised: bool = True,
                       apf: Optional[APFParams] = None,
                       apf_points: Optional[jax.Array] = None,
-                      x_init: Optional[jax.Array] = None,
-                      start_step_index: int = 0,
                       return_chain: bool = True):
-    """Run the full DDIM chain.
+    """Run the full DDIM chain from noise.
 
     shape: (B, H, D). `apf_points`: flattened [N, 2] obstacle points used for
-    potential-field refinement (None disables APF). `x_init` /
-    `start_step_index` allow re-entering the chain part-way (used by the
-    dynamic planner's STAGE-II refinement, which re-noises a plan and runs
-    only the last few DDIM steps, ref diffusion_model_dynamic.py:552-587).
+    potential-field refinement (None disables APF). (Partial-chain re-entry
+    for STAGE-II refinement lives in the dynamic planner itself —
+    `DynamicPlanner._refine` — not here.)
 
     Returns (x_final, chain) where chain is [n_steps+1, B, H, D] (the initial
     noise is chain[0], matching the reference's `diffusion = [x]` seed).
     """
     b, h, d = shape
-    timesteps = ddim_timesteps(sch.n_steps, num_inference_steps)[start_step_index:]
+    timesteps = ddim_timesteps(sch.n_steps, num_inference_steps)
     step_ratio = sch.n_steps // num_inference_steps
 
-    if x_init is None:
-        x = jax.random.normal(key, shape, jnp.float32)
-    else:
-        x = x_init
+    x = jax.random.normal(key, shape, jnp.float32)
     x = dfn.apply_hard_conditioning(x, endpoints)
 
     def step(x, scan_in):
@@ -83,9 +77,74 @@ def ddim_sample_chain(sch: DiffusionSchedule,
         x = dfn.apply_hard_conditioning(x, endpoints)
         return x, (x if return_chain else None)
 
-    forward_ts = jnp.arange(start_step_index, start_step_index + len(timesteps))
+    forward_ts = jnp.arange(len(timesteps))
     x0_chain = x
     x, chain = jax.lax.scan(step, x, (jnp.asarray(timesteps), forward_ts))
+    if return_chain:
+        chain = jnp.concatenate([x0_chain[None], chain], axis=0)
+    return x, chain
+
+
+def ddim_times_3d(n_steps: int) -> "jnp.ndarray":
+    """The 3-D model's DDIM grid (ref diffusion_model_3d.py:236-241):
+    linspace(0, T-1, T//5 + 1) truncated to int, a -1 sentinel appended,
+    reversed, consumed as (t, t_next) pairs. For T=25:
+    pairs (24,19) (19,14) (14,9) (9,4) (4,0) (0,-1) — note the non-uniform
+    first gap from the int truncation."""
+    import numpy as np
+    times = np.linspace(0, n_steps - 1, n_steps // 5 + 1).astype(int)
+    times = np.concatenate([[-1], times])[::-1]
+    return jnp.asarray(times.copy(), jnp.int32)
+
+
+def ddim_sample_chain_3d(sch: DiffusionSchedule,
+                         eps_fn,
+                         params,
+                         key: jax.Array,
+                         shape: Tuple[int, int, int],
+                         endpoints: dfn.Endpoints,
+                         fold: GuidanceFold,
+                         *,
+                         predict_epsilon: bool = True,
+                         return_chain: bool = True):
+    """The 3-D model's DDIM variant, ported exactly
+    (ref diffusion_model_3d.py:220-287, eta=0, predict_epsilon=True shipped):
+
+      * x0-hat is NOT clipped (the static DDIM clips and recomputes the
+        direction from the clipped x0; this one uses the raw model epsilon)
+      * per-pair update x = sqrt(a_next)*x0 + sqrt(1-a_next)*eps with a_next
+        taken at the exact t_next of the non-uniform grid (`ddim_times_3d`)
+      * the final (0, -1) pair returns x0 itself (hard-conditioned)
+    """
+    b, h, d = shape
+    times = ddim_times_3d(sch.n_steps)
+    t_pairs = jnp.stack([times[:-1], times[1:]], axis=-1)  # [(T-1,..), next]
+
+    x = jax.random.normal(key, shape, jnp.float32)
+    x = dfn.apply_hard_conditioning(x, endpoints)
+
+    alphas_cumprod = jnp.asarray(sch.alphas_cumprod)
+
+    def step(x, pair):
+        t_scalar, t_next = pair[0], pair[1]
+        t = jnp.full((b,), t_scalar, jnp.int32)
+        e = guided_eps(eps_fn, params, x, t, fold)
+        x_start = dfn.predict_start_from_noise(sch, x, t, e, predict_epsilon)
+        if predict_epsilon:
+            pred_noise = e  # predict_noise_from_start returns model_out (:92)
+        else:
+            pred_noise = ((dfn.extract(sch.sqrt_recip_alphas_cumprod, t, x.ndim) * x
+                           - e)
+                          / dfn.extract(sch.sqrt_recipm1_alphas_cumprod, t, x.ndim))
+        alpha_next = alphas_cumprod[jnp.maximum(t_next, 0)]
+        x_upd = (jnp.sqrt(alpha_next) * x_start
+                 + jnp.sqrt(1.0 - alpha_next) * pred_noise)
+        x = jnp.where(t_next < 0, x_start, x_upd)
+        x = dfn.apply_hard_conditioning(x, endpoints)
+        return x, (x if return_chain else None)
+
+    x0_chain = x
+    x, chain = jax.lax.scan(step, x, t_pairs)
     if return_chain:
         chain = jnp.concatenate([x0_chain[None], chain], axis=0)
     return x, chain

@@ -90,3 +90,30 @@ def test_apf_pursuer_goal_blend_direction():
     # pushed away from pursuer (negative direction) with a pull toward goal x+
     delta = out[:, :2] - traj[:, :2]
     assert np.all(np.linalg.norm(delta, axis=-1) > 0)
+
+
+def test_apf_pursuer_decay_uses_static_threshold():
+    """The reference masks pursuer hits with the pred threshold but decays
+    the force with the obstacle field's STATIC threshold
+    (APFhelper_dynamic.py:141: exp(-d / obstacle_field.distance_threshold))."""
+    from ramp_tpu.guidance.apf import apf_pursuer
+
+    traj = jnp.zeros((4, 4)).at[:, 0].set(jnp.asarray([0.0, 0.1, 0.2, 0.9]))
+    pts = jnp.asarray([[-0.3, 0.0]])
+    goal = jnp.asarray([2.0, 0.0, 0.0, 0.0])
+    thr_pred, thr_static, strength = 0.5, 0.2, 0.15
+
+    out = apf_pursuer(traj, pts, thr_pred, strength, goal,
+                      goal_blend=0.0, decay_threshold=thr_static)
+    # row 0: d = 0.3 < thr_pred -> pushed along +x with exp(-d/thr_static)
+    d0 = 0.3
+    expected = strength * np.exp(-d0 / thr_static)
+    np.testing.assert_allclose(float(out[0, 0] - traj[0, 0]), expected,
+                               rtol=1e-5)
+    # row 3: d = 1.2 > thr_pred -> untouched
+    np.testing.assert_allclose(np.asarray(out[3]), np.asarray(traj[3]),
+                               atol=1e-7)
+    # default decay falls back to the mask threshold (legacy behavior)
+    legacy = apf_pursuer(traj, pts, thr_pred, strength, goal, goal_blend=0.0)
+    np.testing.assert_allclose(float(legacy[0, 0] - traj[0, 0]),
+                               strength * np.exp(-d0 / thr_pred), rtol=1e-5)

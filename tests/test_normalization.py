@@ -45,3 +45,34 @@ def test_dataset_normalizer_keys():
     assert z.shape == (10, 8, 4)
     back = dn.unnormalize(z, "traj")
     np.testing.assert_allclose(np.asarray(back), fields["traj"], rtol=1e-4, atol=1e-4)
+
+
+def test_safe_limits_normalizer_handles_constant_dims():
+    """SafeLimitsNormalizer (ref :170-185) widens degenerate dims so a
+    constant column cannot produce inf/NaN; it is registry-reachable."""
+    from ramp_tpu.core.normalization import NORMALIZERS, DatasetNormalizer
+
+    x = np.stack([np.linspace(-1, 1, 8), np.zeros(8)], axis=-1)  # col 1 const
+    n = NORMALIZERS["SafeLimitsNormalizer"].fit(x)
+    out = np.asarray(n.normalize(x))
+    assert np.isfinite(out).all()
+    rt = np.asarray(n.unnormalize(n.normalize(x)))
+    np.testing.assert_allclose(rt, x, atol=1e-6)
+
+    dn = DatasetNormalizer({"traj": x}, "SafeLimitsNormalizer")
+    assert np.isfinite(np.asarray(dn.normalize(x, "traj"))).all()
+    assert "FixedLimitsNormalizer" in NORMALIZERS
+
+
+def test_unnormalize_tolerance_matches_reference():
+    """ref :152-160: values within (1, 1+eps] pass through UNclipped; the
+    whole array is clipped only when some element exceeds the tolerance."""
+    from ramp_tpu.core.normalization import LimitsNormalizer
+
+    n = LimitsNormalizer(mins=np.asarray([0.0]), maxs=np.asarray([10.0]))
+    # borderline: 1 + 5e-5 within eps=1e-4 -> unnormalizes beyond maxs
+    out = float(np.asarray(n.unnormalize(jnp.asarray([1.0 + 5e-5]))))
+    assert out > 10.0
+    # beyond tolerance -> the whole array is clipped
+    out2 = np.asarray(n.unnormalize(jnp.asarray([1.0 + 5e-5, 1.01])))
+    assert out2.max() <= 10.0 + 1e-6

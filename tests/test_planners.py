@@ -97,8 +97,10 @@ def test_planner3d_shapes_and_pinning():
 
 
 def test_planner3d_ddim_and_resampling():
-    """Optional 3-D paths: DDIM (ref diffusion_model_3d.py:220-257, T//5
-    steps) and the resampling loop (ref :199-210, re-noise between repeats)."""
+    """Optional 3-D paths: the model's own DDIM variant (ref
+    diffusion_model_3d.py:220-287 — truncated-linspace grid with -1 sentinel,
+    unclipped x0, final pair returns x0) and the resampling loop (ref
+    :199-210, re-noise between repeats)."""
     base = dict(horizon=16, n_diffusion_steps=10, unet_input_dim=8,
                 unet_dim_mults_option=0, dtype="float32")
     pts = jax.random.uniform(jax.random.PRNGKey(1), (5, 16, 3),
@@ -106,14 +108,20 @@ def test_planner3d_ddim_and_resampling():
     start = jnp.asarray([-0.8, -0.8, -0.8, 0.0, 0.0, 0.0])
     goal = jnp.asarray([0.8, 0.8, 0.8, 0.0, 0.0, 0.0])
 
+    from ramp_tpu.sampler.ddim import ddim_times_3d
+
+    # exact reference grid for the shipped T=25: 6 model calls at these t
+    np.testing.assert_array_equal(np.asarray(ddim_times_3d(25)),
+                                  [24, 19, 14, 9, 4, 0, -1])
+
     cfg = Planner3DConfig(use_ddim=True, **base)
-    assert cfg.ddim_steps == 2
     p = Planner3D(cfg)
     params = p.init_params(jax.random.PRNGKey(0), n_obstacles=5, n_points=16)
     x, chain = p.plan(params, jax.random.PRNGKey(2), pts, start, goal,
                       n_samples=2)
     assert x.shape == (2, 16, 6)
-    assert chain.shape[0] == cfg.ddim_steps + 1
+    # chain = initial noise + one entry per (t, t_next) pair of the grid
+    assert chain.shape[0] == len(ddim_times_3d(10)) - 1 + 1
     np.testing.assert_allclose(np.asarray(x[:, 0]), np.tile(start, (2, 1)),
                                atol=1e-5)
     assert np.isfinite(np.asarray(x)).all()
