@@ -50,14 +50,19 @@ for p in "grid|" "grid_w4|--cfg-weight 4" "grid_w5|--cfg-weight 5"; do
       --results "eval_results_3d_${name}.json" \
       > "logs/eval_3d_${name}.out" 2>&1 || echo "3d $name FAILED"
 done
-log "3d compose grid"
-[ -f eval_results_3d_grid_compose.json ] || \
-python scripts/inference3d.py --dataset dataset/EnvSmall3D_v2 \
-    --compose-dataset dataset/EnvSmall3D_v2b \
-    --checkpoints artifacts/weights/planner3d_v2.npz --n-samples 4 \
-    --max-envs 12 --n-contexts 5 \
-    --results eval_results_3d_grid_compose.json \
-    > logs/eval_3d_grid_compose.out 2>&1 || echo "3d compose grid FAILED"
+log "3d compose grids (CPU proxy: parity scored 0.750 on 12x5 — probe a
+lower compose weight too)"
+for p in "grid_compose|" "grid_compose_w4|--cfg-weight 4"; do
+  name=${p%%|*}; flags=${p#*|}
+  [ -f "eval_results_3d_${name}.json" ] && continue
+  # shellcheck disable=SC2086
+  python scripts/inference3d.py --dataset dataset/EnvSmall3D_v2 \
+      --compose-dataset dataset/EnvSmall3D_v2b \
+      --checkpoints artifacts/weights/planner3d_v2.npz --n-samples 4 \
+      --max-envs 12 --n-contexts 5 $flags \
+      --results "eval_results_3d_${name}.json" \
+      > "logs/eval_3d_${name}.out" 2>&1 || echo "3d $name FAILED"
+done
 
 # dynamic CFG probe (w=2.5 parity vs w=3.5) on the 20x2 grid
 for p in "dbase|" "dw35|--cfg-weight 3.5"; do
