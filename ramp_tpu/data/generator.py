@@ -232,8 +232,9 @@ def plan_trajectories_for_scene(box_centers, box_sizes, n_trajs: int,
             trajs.append(traj)
     if not trajs:
         raise RuntimeError("could not plan any trajectory for the scene")
-    while len(trajs) < n_trajs:  # pad with reuse if a scene is very cluttered
-        trajs.append(trajs[len(trajs) % max(1, len(trajs) - 1)])
+    n_planned = len(trajs)
+    while len(trajs) < n_trajs:  # pad by cycling the planned set (cluttered scene)
+        trajs.append(trajs[len(trajs) % n_planned])
     return np.stack(trajs[:n_trajs])
 
 
@@ -391,8 +392,9 @@ def generate_dataset_3d(out_dir: str, n_tasks: int = 4,
                 trajs.append(tr)
         if not trajs:
             raise RuntimeError(f"3-D scene {task_id} unplannable")
-        while len(trajs) < n_trajs_per_task:
-            trajs.append(trajs[len(trajs) % max(1, len(trajs) - 1)])
+        n_planned = len(trajs)
+        while len(trajs) < n_trajs_per_task:  # pad by cycling the planned set
+            trajs.append(trajs[len(trajs) % n_planned])
         trajs = np.stack(trajs[:n_trajs_per_task])
         points = scene_obstacle_points_3d_np(bc, bs, sc, sr,
                                              points_per_obstacle, rng=rng)

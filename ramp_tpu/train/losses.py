@@ -46,10 +46,17 @@ def weighted_l2(pred: jax.Array, targ: jax.Array, weights=None) -> jax.Array:
 def weighted_l2_smooth(pred: jax.Array, targ: jax.Array, weights=None,
                        smoothness_weight: float = 0.1) -> jax.Array:
     """0.9 * MSE + w * MSE on velocity first differences, zero-padded back to
-    the full [B, H, D] grid before the mean (ref helpers.py:104-123)."""
+    the full [B, H, D] grid before the mean (ref helpers.py:104-123).
+
+    States are [positions, velocities] with an equal split in every family
+    (2-D: D=4, vel at 2:; 3-D: D=6, vel at 3:), so the velocity block is the
+    upper half of the last axis — a hardcoded `2:` would fold z-position into
+    the 3-D smoothness term.
+    """
+    vel0 = pred.shape[-1] // 2
     mse = jnp.square(pred - targ)
-    dv_pred = jnp.diff(pred[..., 2:], axis=-2)
-    dv_targ = jnp.diff(targ[..., 2:], axis=-2)
+    dv_pred = jnp.diff(pred[..., vel0:], axis=-2)
+    dv_targ = jnp.diff(targ[..., vel0:], axis=-2)
     sm = jnp.square(dv_pred - dv_targ)
     sm = jnp.pad(sm, ((0, 0), (0, 1), (0, pred.shape[-1] - sm.shape[-1])))
     combined = 0.9 * mse + smoothness_weight * sm

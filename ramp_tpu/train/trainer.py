@@ -122,17 +122,57 @@ def prefetch_to_device(data_iter: Iterator[Dict], mesh, depth: int = 2) -> Itera
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
 
     def producer():
-        for batch in data_iter:
-            if mesh is not None:
-                batch = shard_batch(batch, mesh)
-            q.put(batch)
+        try:
+            for batch in data_iter:
+                if mesh is not None:
+                    batch = shard_batch(batch, mesh)
+                q.put(batch)
+            q.put(_END)
+        except BaseException as e:  # surface in the consumer, don't hang it
+            q.put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
     while True:
-        yield q.get()
+        item = q.get()
+        if item is _END:
+            raise RuntimeError(
+                "training data iterator exhausted before num_steps — the "
+                "host pipeline expects an endless iterator (see "
+                "data.batch_iterator)")
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
+def _make_single_step(unet_apply: Callable, encoder_apply: Callable,
+                      schedule: DiffusionSchedule, config: TrainConfig,
+                      tx) -> Callable:
+    """The one train-step body shared by the per-dispatch and device-resident
+    builders: loss -> grads -> optax update -> EMA -> metrics."""
+
+    def loss_fn(params, key, traj, obstacle_points):
+        return diffusion_loss(
+            unet_apply, encoder_apply, schedule, params, key, traj,
+            obstacle_points,
+            concept_drop_prob=config.concept_drop_prob,
+            loss_type=config.loss_type)
+
+    def single_step(state: TrainState, key, traj, obstacle_points):
+        (loss, info), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, key, traj, obstacle_points)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+        ema_params = ema_update(state, params, config) if config.use_ema else params
+        new_state = TrainState(step=state.step + 1, params=params,
+                               ema_params=ema_params, opt_state=opt_state)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads), **info}
+        return new_state, metrics
+
+    return single_step
 
 
 def make_train_step(unet_apply: Callable, encoder_apply: Callable,
@@ -144,25 +184,11 @@ def make_train_step(unet_apply: Callable, encoder_apply: Callable,
     leading axis; without one (unit tests, single chip) it is a plain jit.
     """
     tx = make_optimizer(config)
-
-    def loss_fn(params, key, traj, obstacle_points):
-        return diffusion_loss(
-            unet_apply, encoder_apply, schedule, params, key, traj,
-            obstacle_points,
-            concept_drop_prob=config.concept_drop_prob,
-            loss_type=config.loss_type)
+    single_step = _make_single_step(unet_apply, encoder_apply, schedule,
+                                    config, tx)
 
     def step_fn(state: TrainState, key, batch: Dict):
-        (loss, info), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, key, batch["traj"], batch["obstacle_points"])
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
-        ema_params = ema_update(state, params, config) if config.use_ema else params
-        new_state = TrainState(step=state.step + 1, params=params,
-                               ema_params=ema_params, opt_state=opt_state)
-        gnorm = optax.global_norm(grads)
-        metrics = {"loss": loss, "grad_norm": gnorm, **info}
-        return new_state, metrics
+        return single_step(state, key, batch["traj"], batch["obstacle_points"])
 
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,))
@@ -194,26 +220,10 @@ def make_multi_step(unet_apply: Callable, encoder_apply: Callable,
     tx = make_optimizer(config)
     b = config.batch_size
     steps_per_epoch = max(1, n_items // b)
-
-    def loss_fn(params, key, traj, obstacle_points):
-        return diffusion_loss(
-            unet_apply, encoder_apply, schedule, params, key, traj,
-            obstacle_points,
-            concept_drop_prob=config.concept_drop_prob,
-            loss_type=config.loss_type)
+    single_step = _make_single_step(unet_apply, encoder_apply, schedule,
+                                    config, tx)
 
     data_shard = batch_sharding(mesh) if mesh is not None else None
-
-    def single_step(state: TrainState, key, traj, obstacle_points):
-        (loss, info), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, key, traj, obstacle_points)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
-        ema_params = ema_update(state, params, config) if config.use_ema else params
-        new_state = TrainState(step=state.step + 1, params=params,
-                               ema_params=ema_params, opt_state=opt_state)
-        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads), **info}
-        return new_state, metrics
 
     def multi_step(state: TrainState, base_key, data, step0):
         def body(state, s):
@@ -280,8 +290,12 @@ class Trainer:
             os.makedirs(self.checkpoint_dir, exist_ok=True)
             self._ckpt_mgr = ocp.CheckpointManager(
                 self.checkpoint_dir,
-                options=ocp.CheckpointManagerOptions(max_to_keep=3,
-                                                     create=True))
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=3,
+                    # milestone saves (steps_til_checkpoint cadence) survive
+                    # the rolling max_to_keep=3 window
+                    keep_period=config.steps_til_checkpoint,
+                    create=True))
 
     # -------------------------------------------------------------- logging
     def _tb_scalars(self, rec: Dict) -> None:
@@ -341,7 +355,7 @@ class Trainer:
         if self.mesh is not None:
             state = jax.device_put(state, replicate(self.mesh))
 
-        key = jax.random.PRNGKey(config.seed)
+        base_key = jax.random.PRNGKey(config.seed)
         log_fh = open(log_file, "a") if log_file else None
         t_last = time.perf_counter()
         start_step = int(state.step)
@@ -353,7 +367,12 @@ class Trainer:
                                 "follows", host_step)
                     break
                 batch = next(staged)
-                key, k_step = jax.random.split(key)
+                # fold_in by global step (not a split chain from 0): a
+                # resumed run continues the noise stream instead of
+                # replaying steps 0..N-1's draws (fit_device_resident has
+                # the same property). The batch stream is caller-owned —
+                # reseed/skip it for exact-data resume.
+                k_step = jax.random.fold_in(base_key, host_step)
                 state, metrics = self.train_step(state, k_step, batch)
                 # host-side step counter: reading state.step would force a
                 # device sync every iteration (a fixed ~25 ms tick on some

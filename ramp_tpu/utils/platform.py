@@ -56,7 +56,11 @@ def accelerator_available(probe_timeout_s: float = 180.0) -> bool:
     env_platform = os.environ.get("JAX_PLATFORMS", "").lower()
     if env_platform in ("cpu", "cpu,"):
         return True
-    if ("axon" in env_platform or "tpu" in env_platform or "proxy" in env_platform) \
+    # The relay-port pre-check is a fast NEGATIVE only for relayed backends
+    # (axon/proxy), where the subprocess probe would otherwise hang until its
+    # timeout. A plain `tpu` platform (a real TPU VM) has no local relay —
+    # fall through to the authoritative probe, which returns quickly there.
+    if ("axon" in env_platform or "proxy" in env_platform) \
             and not _relay_listening():
         return False
     try:
