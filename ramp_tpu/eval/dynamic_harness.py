@@ -64,8 +64,14 @@ class DynamicEvalHarness:
         """One closed-loop episode + scoring. Static APF points come from the
         first 4 boxes (ref diffusion_model_dynamic.py:516-517)."""
         rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31 - 1)))
+        # APF-variant clouds (ref APFhelper_dynamic.py:41-60): boundary
+        # count in [2P/3, P] and element-wise edge weights — distinct from
+        # the dataset/env variant's [P/2, 2P/3] + tiled weights
         apf_pts = np.concatenate([
-            generate_box_points_np(c, s, self.points_per_obstacle, rng=rng)
+            generate_box_points_np(c, s, self.points_per_obstacle, rng=rng,
+                                   boundary_lo_frac=2.0 / 3.0,
+                                   boundary_hi_frac=1.0,
+                                   elementwise_edge_weights=True)
             for c, s in zip(np.asarray(box_centers)[:4], np.asarray(box_sizes)[:4])
         ]).astype(np.float32)
 

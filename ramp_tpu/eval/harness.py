@@ -42,12 +42,14 @@ def sample_context(rng: np.random.Generator, box_centers, box_sizes,
             "goal": np.concatenate([goal, np.zeros(2, np.float32)])}
 
 
-def sample_free_point_3d(rng: np.random.Generator, box_centers, box_sizes,
+def sample_free_scene_point_3d(rng: np.random.Generator, box_centers, box_sizes,
                          sphere_centers=None, sphere_radii=None,
                          margin: float = 0.05, bound: float = 0.9,
                          max_tries: int = 2000) -> np.ndarray:
     """Rejection-sample a point outside every box and sphere (3-D analog of
-    `sample_context`; used by the 3-D grid eval's extra contexts)."""
+    `sample_context`; used by the 3-D grid eval's extra contexts). Named
+    apart from `data.generator.sample_free_point_3d`, which samples on an
+    occupancy GRID with a different signature."""
     box_centers = np.asarray(box_centers)
     for _ in range(max_tries):
         pt = rng.uniform(-bound, bound, 3)

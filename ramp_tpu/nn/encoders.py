@@ -81,7 +81,7 @@ class MultiheadSelfAttention(nn.Module):
 
 
 class SetTransformerBlock2D(nn.Module):
-    """Post-norm-residual block (ref obstacle_encoder.py:32-50)."""
+    """Pre-norm-residual block (ref obstacle_encoder.py:32-50)."""
     dim: int
     num_heads: int = 4
     mlp_ratio: float = 4.0

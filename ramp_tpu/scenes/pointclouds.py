@@ -41,8 +41,18 @@ def generate_sphere_points_np(center, radius, num_points, surface_ratio=0.9,
 
 def generate_box_points_np(center, size, num_points, boundary_lo_frac=0.5,
                            boundary_hi_frac=2.0 / 3.0,
-                           rng: np.random.Generator | None = None):
-    """ref env_simple2dquant.py:63-97 (boundary count in [P/2, 2P/3])."""
+                           rng: np.random.Generator | None = None,
+                           elementwise_edge_weights: bool = False):
+    """ref env_simple2dquant.py:63-97 (boundary count in [P/2, 2P/3]).
+
+    The reference has TWO box-cloud implementations that disagree: the
+    dataset/env variant (torch) TILES [w,h,w,h] -> [w,h,w,h,w,h,w,h] so each
+    perimeter segment is weighted by its true length, while the APF variant
+    (numpy, APFhelper_dynamic.py:54) repeats element-wise ->
+    [w,w,h,h,w,w,h,h], skewing per-edge density for non-square boxes, and
+    draws its boundary count from [2P/3, P]. Default = dataset variant;
+    `elementwise_edge_weights=True` + fractions (2/3, 1.0) = APF variant.
+    """
     rng = rng or np.random.default_rng()
     cx, cy = center
     w, h = size
@@ -54,7 +64,8 @@ def generate_box_points_np(center, size, num_points, boundary_lo_frac=0.5,
     n_inside = num_points - n_boundary
 
     edges = np.array([[left, top], [right, top], [right, bottom], [left, bottom]])
-    edge_lengths = np.array([w, h, w, h], dtype=np.float64).repeat(2)
+    base = np.array([w, h, w, h], dtype=np.float64)
+    edge_lengths = base.repeat(2) if elementwise_edge_weights else np.tile(base, 2)
     edge_pts = rng.random(n_boundary) * edge_lengths.sum()
     cum = np.cumsum(edge_lengths)
     idx = np.searchsorted(cum, edge_pts)
@@ -108,7 +119,9 @@ def generate_box_points(key: jax.Array, center: jax.Array, size: jax.Array,
     """Device-side box cloud with a fixed boundary fraction (static shapes).
 
     The reference randomizes the boundary/interior split; under jit the split
-    must be static, so we fix it at the mean of the reference's range.
+    must be static, so we fix it at the mean of the reference's range. Edge
+    weighting follows the APF variant's element-wise repeat (see
+    `generate_box_points_np` — the on-device use case is APF clouds).
     """
     n_boundary = int(num_points * boundary_frac)
     n_inside = num_points - n_boundary
@@ -118,7 +131,7 @@ def generate_box_points(key: jax.Array, center: jax.Array, size: jax.Array,
         jnp.stack([left, bottom + h]), jnp.stack([left + w, bottom + h]),
         jnp.stack([left + w, bottom]), jnp.stack([left, bottom]),
     ])
-    edge_lengths = jnp.stack([w, h, w, h]).repeat(2)
+    edge_lengths = jnp.stack([w, h, w, h]).repeat(2)  # APF-variant weighting
     k1, k2 = jax.random.split(key)
     edge_pts = jax.random.uniform(k1, (n_boundary,)) * edge_lengths.sum()
     cum = jnp.cumsum(edge_lengths)

@@ -107,7 +107,7 @@ def main():
                          if sph_r is not None else om["sphere_radii"])
         return box_centers, box_sizes, sph_c, sph_r
 
-    from ramp_tpu.eval.harness import sample_free_point_3d as sample_free_point
+    from ramp_tpu.eval.harness import sample_free_scene_point_3d as sample_free_point
 
     rng = np.random.default_rng(args.seed)
     key = jax.random.PRNGKey(args.seed)

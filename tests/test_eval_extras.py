@@ -175,7 +175,7 @@ def test_dynamic_eval_harness_end_to_end(tmp_path):
 
 
 def test_sample_free_point_3d_avoids_geometry():
-    from ramp_tpu.eval.harness import sample_free_point_3d
+    from ramp_tpu.eval.harness import sample_free_scene_point_3d
 
     rng = np.random.default_rng(0)
     boxes_c = np.asarray([[0.0, 0.0, 0.0]])
@@ -183,12 +183,12 @@ def test_sample_free_point_3d_avoids_geometry():
     sph_c = np.asarray([[0.7, 0.7, 0.7]])
     sph_r = np.asarray([0.25])
     for _ in range(200):
-        pt = sample_free_point_3d(rng, boxes_c, boxes_s, sph_c, sph_r)
+        pt = sample_free_scene_point_3d(rng, boxes_c, boxes_s, sph_c, sph_r)
         assert not np.all(np.abs(pt - boxes_c[0]) <= 0.5 + 0.05)
         assert np.linalg.norm(pt - sph_c[0]) > 0.25 + 0.05
         assert np.abs(pt).max() <= 0.9
 
     # an all-blocking scene must raise, not loop forever
     with pytest.raises(RuntimeError):
-        sample_free_point_3d(rng, np.asarray([[0.0, 0.0, 0.0]]),
+        sample_free_scene_point_3d(rng, np.asarray([[0.0, 0.0, 0.0]]),
                              np.asarray([[4.0, 4.0, 4.0]]), max_tries=50)
