@@ -1,19 +1,30 @@
-"""Measured inference presets for the static planner.
+"""Measured inference presets for all three planner families.
 
-The reference ships exactly one configuration (DDIM-5, CFG w=2,
-`diffusion_model_static.py:40,164`). Sweeping the traced guidance knobs on
-the same trained weights (24 scenes x 10 contexts x 20 samples,
-`scripts/static_probe_ab.sh`; CPU-proxy numbers below, chip rerun queued)
-moves plain success substantially with zero retraining:
+The reference ships exactly one configuration per family (static DDIM-5
+w=2 `diffusion_model_static.py:40,164`; dynamic DDIM 10+5 w=2.5
+`diffusion_model_dynamic.py`; 3-D DDPM w=5.75 `inference3d.py`).
+Sweeping the traced guidance knobs on the same trained weights
+(`scripts/static_probe_ab.sh`, `scripts/dynamic_probe_ab.sh`, 3-D grid
+evals; CPU-proxy numbers below, chip reruns queued in
+`scripts/chip_queue.sh`) moves quality substantially with zero
+retraining:
 
-    parity   DDIM-5, w=2   success 0.733   (the reference configuration)
-    quality  DDIM-5, w=5   success 0.858   (same latency; plateau — w=6 equal)
-    fast     DDIM-3, w=3   success 0.846   (~40% lower replan latency)
+    static  (24 scenes x 10 contexts x 20 samples, plain success)
+      parity   DDIM-5, w=2   0.733   (the reference configuration)
+      quality  DDIM-5, w=5   0.858   (same latency; plateau — w=6 equal)
+      fast     DDIM-3, w=3   0.846   (~40% lower replan latency)
+
+    dynamic (10-context closed-loop proxy grid, score)
+      parity   w=2.5   0.70
+      quality  w=3.5   0.80    (two fewer pursuer captures)
+
+    3d      (12 scenes x 5 contexts x 4 samples, success)
+      parity   w=5.75  0.917
+      quality  w=4     0.933   (w=3 ties on success, this edges collision)
 
 More steps at fixed weight HURT the any-of-N success metric (population
 diversity collapses); a stronger CFG push raises success and diversity
-together until it plateaus at w=5. Explicit --ddim-steps/--cfg-weight
-always override a preset.
+together until it plateaus. Explicit knob flags always override a preset.
 """
 from __future__ import annotations
 
@@ -23,6 +34,16 @@ STATIC_PRESETS = {
     "parity": {},
     "quality": {"cfg_weight": 5.0},
     "fast": {"ddim_steps": 3, "cfg_weight": 3.0},
+}
+
+DYNAMIC_PRESETS = {
+    "parity": {},
+    "quality": {"cfg_weight": 3.5},
+}
+
+PRESETS_3D = {
+    "parity": {},
+    "quality": {"cfg_weight": 4.0},
 }
 
 
@@ -37,3 +58,17 @@ def resolve_static_preset(preset: Optional[str],
     if cfg_weight is None:
         cfg_weight = table.get("cfg_weight")
     return ddim_steps, cfg_weight
+
+
+def resolve_dynamic_preset(preset: Optional[str],
+                           cfg_weight: Optional[float]) -> Optional[float]:
+    """CFG weight for the dynamic planner (explicit flag wins)."""
+    table = DYNAMIC_PRESETS[preset or "parity"]
+    return cfg_weight if cfg_weight is not None else table.get("cfg_weight")
+
+
+def resolve_3d_preset(preset: Optional[str],
+                      cfg_weight: Optional[float]) -> Optional[float]:
+    """CFG / composition weight for the 3-D planner (explicit flag wins)."""
+    table = PRESETS_3D[preset or "parity"]
+    return cfg_weight if cfg_weight is not None else table.get("cfg_weight")

@@ -56,6 +56,9 @@ def main():
     p.add_argument("--cfg-weight", type=float, default=None,
                    help="override the CFG / composition weight (default: "
                         "reference parity w=5.75, compose w1=w2=5)")
+    p.add_argument("--preset", default=None, choices=["parity", "quality"],
+                   help="measured knob presets (ramp_tpu/presets.py); "
+                        "explicit --cfg-weight wins")
     args = p.parse_args()
 
     from ramp_tpu.utils.platform import enable_compilation_cache, set_platform
@@ -65,9 +68,11 @@ def main():
     dataset = TrajectoryDataset(args.dataset, include_velocity=True)
     compose = args.compose_dataset is not None
     overrides = {}
-    if args.cfg_weight is not None:
-        overrides["cfg_weight"] = args.cfg_weight
-        overrides["compose_weights"] = (args.cfg_weight, args.cfg_weight)
+    from ramp_tpu.presets import resolve_3d_preset
+    cfg_weight = resolve_3d_preset(args.preset, args.cfg_weight)
+    if cfg_weight is not None:
+        overrides["cfg_weight"] = cfg_weight
+        overrides["compose_weights"] = (cfg_weight, cfg_weight)
     cfg = Planner3DConfig(horizon=dataset.horizon, state_dim=dataset.state_dim,
                           unet_input_dim=args.unet_dim,
                           unet_dim_mults_option=args.dim_mults_option,

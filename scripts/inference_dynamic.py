@@ -44,6 +44,9 @@ def main():
                    help="STAGE-II refine DDIM steps (default: reference parity 5)")
     p.add_argument("--cfg-weight", type=float, default=None,
                    help="CFG weight (default: reference parity w=2.5)")
+    p.add_argument("--preset", default=None, choices=["parity", "quality"],
+                   help="measured knob presets (ramp_tpu/presets.py); "
+                        "explicit --cfg-weight wins")
     args = p.parse_args()
 
     from ramp_tpu.utils.platform import enable_compilation_cache, set_platform
@@ -56,8 +59,10 @@ def main():
         overrides["ddim_steps_high"] = args.ddim_steps_high
     if args.ddim_steps_low is not None:
         overrides["ddim_steps_low"] = args.ddim_steps_low
-    if args.cfg_weight is not None:
-        overrides["cfg_weight"] = args.cfg_weight
+    from ramp_tpu.presets import resolve_dynamic_preset
+    cfg_weight = resolve_dynamic_preset(args.preset, args.cfg_weight)
+    if cfg_weight is not None:
+        overrides["cfg_weight"] = cfg_weight
     cfg = DynamicPlannerConfig(horizon=dataset.horizon,
                                state_dim=dataset.state_dim,
                                unet_input_dim=args.unet_dim,

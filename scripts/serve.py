@@ -42,8 +42,8 @@ def main() -> None:
     p.add_argument("--ddim-steps", type=int, default=None)
     p.add_argument("--preset", default=None,
                    choices=["parity", "quality", "fast"],
-                   help="measured static-planner knob presets "
-                        "(ramp_tpu/presets.py); --family static only")
+                   help="measured per-family knob presets "
+                        "(ramp_tpu/presets.py); 'fast' is static-only")
     p.add_argument("--cfg-weight", type=float, default=None)
     p.add_argument("--unet-dim", type=int, default=32)
     p.add_argument("--dim-mults-option", type=int, default=1, choices=[0, 1])
@@ -66,12 +66,17 @@ def main() -> None:
     overrides = {}
     if args.cfg_weight is not None:
         overrides["cfg_weight"] = args.cfg_weight
+    if args.preset == "fast" and args.family != "static":
+        p.error("--preset fast applies to --family static only")
     if args.family == "dynamic":
         from ramp_tpu.planners.dynamic import DynamicPlanner, DynamicPlannerConfig
-        if args.use_apf or args.ddim_steps is not None or args.preset \
-                or args.compose:
-            p.error("--use-apf/--ddim-steps/--preset/--compose apply to "
+        from ramp_tpu.presets import resolve_dynamic_preset
+        if args.use_apf or args.ddim_steps is not None or args.compose:
+            p.error("--use-apf/--ddim-steps/--compose apply to "
                     "the static/3d families only")
+        cfg_weight = resolve_dynamic_preset(args.preset, args.cfg_weight)
+        if cfg_weight is not None:
+            overrides["cfg_weight"] = cfg_weight
         cfg = DynamicPlannerConfig(horizon=dataset.horizon,
                                    state_dim=dataset.state_dim,
                                    unet_input_dim=args.unet_dim,
@@ -81,9 +86,13 @@ def main() -> None:
         point_dim = 2
     elif args.family == "3d":
         from ramp_tpu.planners.planner3d import Planner3D, Planner3DConfig
-        if args.use_apf or args.ddim_steps is not None or args.preset:
-            p.error("--use-apf/--ddim-steps/--preset apply to "
-                    "--family static only")
+        from ramp_tpu.presets import resolve_3d_preset
+        if args.use_apf or args.ddim_steps is not None:
+            p.error("--use-apf/--ddim-steps apply to --family static only")
+        cfg_weight = resolve_3d_preset(args.preset, args.cfg_weight)
+        if cfg_weight is not None:
+            overrides["cfg_weight"] = cfg_weight
+            overrides["compose_weights"] = (cfg_weight, cfg_weight)
         cfg = Planner3DConfig(horizon=dataset.horizon,
                               state_dim=dataset.state_dim,
                               unet_input_dim=args.unet_dim,

@@ -1,5 +1,7 @@
-"""Static-planner knob presets (measured in scripts/static_probe_ab.sh)."""
-from ramp_tpu.presets import STATIC_PRESETS, resolve_static_preset
+"""Measured per-family knob presets (ramp_tpu/presets.py)."""
+from ramp_tpu.presets import (DYNAMIC_PRESETS, PRESETS_3D, STATIC_PRESETS,
+                              resolve_3d_preset, resolve_dynamic_preset,
+                              resolve_static_preset)
 
 
 def test_parity_is_empty():
@@ -16,3 +18,17 @@ def test_presets_resolve():
 def test_explicit_knobs_override_preset():
     assert resolve_static_preset("quality", 8, None) == (8, 5.0)
     assert resolve_static_preset("fast", None, 2.5) == (3, 2.5)
+
+
+def test_dynamic_presets():
+    assert DYNAMIC_PRESETS["parity"] == {}
+    assert resolve_dynamic_preset(None, None) is None
+    assert resolve_dynamic_preset("quality", None) == 3.5
+    assert resolve_dynamic_preset("quality", 2.5) == 2.5
+
+
+def test_3d_presets():
+    assert PRESETS_3D["parity"] == {}
+    assert resolve_3d_preset(None, None) is None
+    assert resolve_3d_preset("quality", None) == 4.0
+    assert resolve_3d_preset("quality", 5.75) == 5.75
