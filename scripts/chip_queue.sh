@@ -64,8 +64,9 @@ for p in "grid_compose|" "grid_compose_w4|--cfg-weight 4"; do
       > "logs/eval_3d_${name}.out" 2>&1 || echo "3d $name FAILED"
 done
 
-# dynamic CFG probe (w=2.5 parity vs w=3.5) on the 20x2 grid
-for p in "dbase|" "dw35|--cfg-weight 3.5"; do
+# dynamic CFG probe (w=2.5 parity vs w=3.5/w=4.5) on the 20x2 grid
+# (CPU proxies: base 0.70, w3.5 0.80; w4.5 probe running on CPU)
+for p in "dbase|" "dw35|--cfg-weight 3.5" "dw45|--cfg-weight 4.5"; do
   name=${p%%|*}; flags=${p#*|}
   [ -f "eval_results_dynamic_${name}.json" ] && continue
   log "dynamic $name"

@@ -16,6 +16,7 @@ if [ -z "${PROBES[0]}" ]; then
   PROBES=(
     "base|"
     "w35|--cfg-weight 3.5"
+    "w45|--cfg-weight 4.5"
     "w15|--cfg-weight 1.5"
     "h15|--ddim-steps-high 15"
   )
