@@ -78,5 +78,9 @@ for p in "dbase|" "dw35|--cfg-weight 3.5" "dw45|--cfg-weight 4.5"; do
       > "logs/eval_dyn_${name}.out" 2>&1 || echo "dynamic $name FAILED"
 done
 
+# APF backend A/B (XLA-fused vs the Pallas kernel) — never yet run on chip
+[ -f logs/apf_ab.json ] || python scripts/bench_apf_ab.py \
+    > logs/apf_ab.json 2>logs/apf_ab.err || echo "apf A/B FAILED"
+
 python bench.py > logs/bench_post2.json 2>logs/bench_post2.err
 log "chip queue drained"
