@@ -83,4 +83,19 @@ done
     > logs/apf_ab.json 2>logs/apf_ab.err || echo "apf A/B FAILED"
 
 python bench.py > logs/bench_post2.json 2>logs/bench_post2.err
+
+# Full paper-size dynamic grid (100 contexts x 10 experiments, ref
+# inference_dynamic.py:429-430) — ~1-2 h chip each; last so everything
+# above lands first. Parity config, then the measured quality preset.
+for p in "paper|" "paper_quality|--preset quality"; do
+  name=${p%%|*}; flags=${p#*|}
+  [ -f "eval_results_dynamic_${name}.json" ] && continue
+  log "dynamic full paper grid: $name"
+  # shellcheck disable=SC2086
+  python scripts/inference_dynamic.py --dataset dataset/EnvPredator_v2 \
+      --checkpoints artifacts/weights/predator_v2_60k.npz \
+      --n-contexts 100 --n-experiments 10 --n-samples 35 $flags \
+      --results "eval_results_dynamic_${name}.json" \
+      > "logs/eval_dyn_${name}.out" 2>&1 || echo "dynamic $name FAILED"
+done
 log "chip queue drained"
