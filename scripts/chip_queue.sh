@@ -2,13 +2,16 @@
 # Pending TPU-chip work queue (survives round boundaries — /tmp does not).
 #
 # The axon TPU tunnel died mid-campaign on 2026-08-17; this script waits for
-# the chip to come back and then drains the remaining queue in order:
+# the chip to come back and then drains the remaining queue CHEAP-FIRST so a
+# late tunnel return still lands the most results before the round ends:
 #   1. static knob A/B round 2 (w3..w6 + DDIM-3 rows, auto full tuned grid)
-#   2. static fine-tune 300k -> 420k in two exported legs + eval
-#   3. 3-D plain + compose chip reruns (fixed per-task sphere metrics)
-#   4. fresh bench
-# Each stage is individually resumable (cached probe JSONs are skipped by
-# static_probe_ab.sh). Run as:
+#   2. dynamic CFG probes (20x2)
+#   3. 3-D plain/compose reruns + scenes x contexts grids
+#   4. APF backend A/B + fresh bench
+#   5. EXPENSIVE: dynamic full paper grid (100x10, ~1-2 h), static
+#      fine-tune 300k -> 420k (~2 h), paper grid at the quality preset
+# Each stage is individually resumable (cached probe JSONs are skipped).
+# Run as:
 #   nohup bash scripts/chip_queue.sh > logs/chip_queue.out 2>&1 &
 set -u
 cd "$(dirname "$0")/.."
@@ -25,7 +28,6 @@ done
 log "tunnel is back"
 
 bash scripts/static_probe_ab.sh
-bash scripts/finetune_static.sh
 bash scripts/dynamic_probe_ab.sh
 
 log "3d plain rerun (fixed sphere metrics)"
@@ -84,18 +86,24 @@ done
 
 python bench.py > logs/bench_post2.json 2>logs/bench_post2.err
 
-# Full paper-size dynamic grid (100 contexts x 10 experiments, ref
-# inference_dynamic.py:429-430) — ~1-2 h chip each; last so everything
-# above lands first. Parity config, then the measured quality preset.
-for p in "paper|" "paper_quality|--preset quality"; do
-  name=${p%%|*}; flags=${p#*|}
-  [ -f "eval_results_dynamic_${name}.json" ] && continue
+# ---- EXPENSIVE stages (hours each), most valuable first ----
+
+# Full paper-size dynamic grid at parity (100 contexts x 10 experiments,
+# ref inference_dynamic.py:429-430) — the headline parity number.
+run_paper_grid() {  # $1 name, $2.. flags
+  name=$1; shift
+  [ -f "eval_results_dynamic_${name}.json" ] && return 0
   log "dynamic full paper grid: $name"
-  # shellcheck disable=SC2086
   python scripts/inference_dynamic.py --dataset dataset/EnvPredator_v2 \
       --checkpoints artifacts/weights/predator_v2_60k.npz \
-      --n-contexts 100 --n-experiments 10 --n-samples 35 $flags \
+      --n-contexts 100 --n-experiments 10 --n-samples 35 "$@" \
       --results "eval_results_dynamic_${name}.json" \
       > "logs/eval_dyn_${name}.out" 2>&1 || echo "dynamic $name FAILED"
-done
+}
+run_paper_grid paper
+
+# static fine-tune 300k -> 420k in two exported legs + eval (~2 h)
+bash scripts/finetune_static.sh
+
+run_paper_grid paper_quality --preset quality
 log "chip queue drained"
