@@ -126,10 +126,17 @@ class DynamicEvalHarness:
                 rows.append(out["metrics"])
 
         pl = [r["path_length"] for r in rows if r["path_length"] is not None]
+        from ramp_tpu.eval.stats import ci_fields, mean_ci95, wilson_ci
         agg = {
             "capture_rate": float(np.mean([r["captured"] for r in rows])),
+            **ci_fields("capture_rate",
+                        wilson_ci(sum(r["captured"] for r in rows), len(rows))),
             "goal_success_rate": float(np.mean([r["goal_reached"] for r in rows])),
+            **ci_fields("goal_success_rate",
+                        wilson_ci(sum(r["goal_reached"] for r in rows),
+                                  len(rows))),
             "score": float(np.mean([r["score"] for r in rows])),
+            **ci_fields("score", mean_ci95([r["score"] for r in rows])),
             "path_length_mean": float(np.mean(pl)) if pl else None,
             "t_per_replan_p50_s": float(np.median([r["t_per_replan_s"] for r in rows])),
             "n_contexts": n_contexts,

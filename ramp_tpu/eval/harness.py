@@ -193,8 +193,11 @@ class StaticEvalHarness:
                 "collision_intensity": float(np.mean([r["collision_intensity"] for r in env_rows])),
                 "contexts": env_rows,
             }
+        from ramp_tpu.eval.stats import ci_fields, wilson_ci
         results["aggregate"] = {
             "success_rate": float(np.mean(all_success)) if all_success else None,
+            **ci_fields("success_rate",
+                        wilson_ci(int(np.sum(all_success)), len(all_success))),
             "collision_intensity": float(np.mean(all_ci)) if all_ci else None,
             "path_length_mean": float(np.mean(all_pl)) if all_pl else None,
             "path_length_std": float(np.std(all_pl)) if all_pl else None,

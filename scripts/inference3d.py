@@ -180,8 +180,12 @@ def main():
 
     pls = [r["path_length_mean"] for r in rows
            if r["path_length_mean"] is not None]
+    from ramp_tpu.eval.stats import ci_fields, wilson_ci
     aggregate = {
         "success": float(np.mean([r["success"] for r in rows])),
+        **ci_fields("success",
+                    wilson_ci(int(np.sum([r["success"] for r in rows])),
+                              len(rows))),
         "collision_intensity_pct": float(np.mean(
             [r["collision_intensity_pct"] for r in rows])),
         "goal_error": float(np.mean([r["goal_error"] for r in rows])),
