@@ -126,17 +126,24 @@ class DynamicEvalHarness:
                 rows.append(out["metrics"])
 
         pl = [r["path_length"] for r in rows if r["path_length"] is not None]
-        from ramp_tpu.eval.stats import ci_fields, mean_ci95, wilson_ci
+        # rows hold n_experiments consecutive episodes per context, and
+        # repeats on one context share its geometry/start/goal — the CI's
+        # independent unit is the context (see stats.cluster_means).
+        from ramp_tpu.eval.stats import (ci_fields, cluster_means, mean_ci95,
+                                         rate_ci95)
         agg = {
             "capture_rate": float(np.mean([r["captured"] for r in rows])),
             **ci_fields("capture_rate",
-                        wilson_ci(sum(r["captured"] for r in rows), len(rows))),
+                        rate_ci95([r["captured"] for r in rows],
+                                  cluster_size=n_experiments)),
             "goal_success_rate": float(np.mean([r["goal_reached"] for r in rows])),
             **ci_fields("goal_success_rate",
-                        wilson_ci(sum(r["goal_reached"] for r in rows),
-                                  len(rows))),
+                        rate_ci95([r["goal_reached"] for r in rows],
+                                  cluster_size=n_experiments)),
             "score": float(np.mean([r["score"] for r in rows])),
-            **ci_fields("score", mean_ci95([r["score"] for r in rows])),
+            **ci_fields("score", mean_ci95(
+                cluster_means([r["score"] for r in rows], n_experiments),
+                bounds=(0.0, 1.0))),
             "path_length_mean": float(np.mean(pl)) if pl else None,
             "t_per_replan_p50_s": float(np.median([r["t_per_replan_s"] for r in rows])),
             "n_contexts": n_contexts,

@@ -16,11 +16,15 @@ retraining:
 
     dynamic (10-context closed-loop proxy grid, score)
       parity   w=2.5   0.70
-      quality  w=3.5   0.80    (two fewer pursuer captures)
+      quality  w=3.5   0.80    (one fewer capture + one more goal reach;
+                                a PEAK, not a plateau — w=4.5 drops to 0.70)
 
     3d      (12 scenes x 5 contexts x 4 samples, success)
       parity   w=5.75  0.917
-      quality  w=4     0.933   (w=3 ties on success, this edges collision)
+      quality  w=4     0.933   (w=3 ties on success and edges collision on
+                                the single-model grid, but w=4 wins both
+                                metrics on the harder compose grid:
+                                0.767/3.50% vs 0.750/3.57%)
 
 More steps at fixed weight HURT the any-of-N success metric (population
 diversity collapses); a stronger CFG push raises success and diversity

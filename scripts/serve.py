@@ -63,9 +63,9 @@ def main() -> None:
                                 make_http_server)
 
     dataset = TrajectoryDataset(args.dataset, include_velocity=True)
+    # cfg_weight enters overrides per family below, via resolve_*_preset
+    # (explicit flag wins inside the resolver).
     overrides = {}
-    if args.cfg_weight is not None:
-        overrides["cfg_weight"] = args.cfg_weight
     if args.preset == "fast" and args.family != "static":
         p.error("--preset fast applies to --family static only")
     if args.family == "dynamic":

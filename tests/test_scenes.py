@@ -85,6 +85,32 @@ def test_box_points_on_boundary_or_inside():
     assert inside.all()
 
 
+def test_box_points_edge_weighting_variants():
+    """Tile vs element-wise edge weights give different per-edge densities.
+
+    Dataset variant (default, torch tile [w,h,w,h]x2): each edge's point
+    share equals its true length share — vertical edges get h/(2(w+h)).
+    APF variant (elementwise repeat [w,w,h,h]x2): the RIGHT edge (length h)
+    is weighted by w instead, skewing non-square boxes. Guards the parity
+    fix in generate_box_points_np against a silent default flip.
+    """
+    w, h = 0.2, 0.6
+    n = 4000
+
+    def right_edge_fraction(elementwise):
+        rng = np.random.default_rng(7)
+        pts = generate_box_points_np(
+            [0.0, 0.0], [w, h], n, boundary_lo_frac=1.0,
+            boundary_hi_frac=1.0, rng=rng,
+            elementwise_edge_weights=elementwise)
+        return float((np.abs(pts[:, 0] - w / 2) < 1e-9).mean())
+
+    length_share = h / (2 * (w + h))       # 0.375: true length weighting
+    skewed_share = w / (2 * (w + h))       # 0.125: APF's elementwise repeat
+    assert abs(right_edge_fraction(False) - length_share) < 0.03
+    assert abs(right_edge_fraction(True) - skewed_share) < 0.03
+
+
 def test_sphere_points_radius():
     rng = np.random.default_rng(0)
     pts = generate_sphere_points_np([0.5, -0.5], 0.1, 64, rng=rng)
