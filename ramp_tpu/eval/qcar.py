@@ -1,0 +1,142 @@
+"""QCar pursuit-evasion episode: non-holonomic closed loop on real controls.
+
+Reproduces the reference's PHYSICAL demo structure (ref README.md:58-86 —
+the repo has no code for it): a non-holonomic evader car executes the
+dynamic planner's replans through a low-level tracking controller while a
+pursuer hunts its ACTUAL position. Unlike the eval harness's point-mass
+episodes (where the evader teleports to the next plan row), the car here
+is a kinematic bicycle (`ramp_tpu.scenes.vehicles`) — tracking error is
+real and feeds back into capture/goal outcomes.
+
+Loop per control tick, exactly the deployment contract of
+`DynamicPlanner.begin_episode`/`controller_step`:
+  1. observe the pursuer -> one STAGE-II replan -> next waypoint
+  2. pure-pursuit substeps drive the bicycle toward the waypoint
+  3. the pursuer pursues the car's actual position (dataset dynamics)
+Scoring reuses `dynamic_episode_metrics` verbatim on the executed chains,
+plus tracking-error diagnostics unique to the non-holonomic layer.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ramp_tpu.eval.dynamic_harness import static_collision_of_path
+from ramp_tpu.eval.metrics import dynamic_episode_metrics
+from ramp_tpu.scenes.dynamics import PursuitParams, pursuit_step
+from ramp_tpu.scenes.vehicles import (QCarParams, make_qcar_state,
+                                      track_waypoint)
+
+
+def run_qcar_episode(planner, params, obstacle_pts, static_apf_pts,
+                     context: Dict, n_samples: int = 35,
+                     qcar: QCarParams = QCarParams(), n_substeps: int = 5,
+                     max_steps: int = 60, finish_ticks: int = 15,
+                     goal_safe_threshold: float = 0.25,
+                     pursuit: PursuitParams = PursuitParams(),
+                     key: Optional[jax.Array] = None) -> Dict:
+    """One closed-loop QCar episode. Returns chains + metrics.
+
+    obstacle_pts: [O, P, 2] encoder clouds; static_apf_pts: [M, 2] APF
+    surface points (may cover MORE boxes than the encoder saw — that is
+    scenario 2's unseen-obstacle mechanism); context: start/goal ([4])
+    and pursuer ([2]) in planner frame.
+    """
+    key = jax.random.PRNGKey(0) if key is None else key
+    obstacle_pts = jnp.asarray(obstacle_pts, jnp.float32)
+    static_apf_pts = jnp.asarray(static_apf_pts, jnp.float32)
+    start = jnp.asarray(context["start"], jnp.float32)
+    goal = jnp.asarray(context["goal"], jnp.float32)
+    cfg = planner.config
+
+    state, high_plan = planner.begin_episode(
+        params, key, obstacle_pts, start, goal, n_samples=n_samples)
+    scene_latents = planner.encode_scene(params, obstacle_pts)
+
+    # face the first leg of the plan, standing still — a real run starts
+    # the same way (the car is placed at the start pose by hand)
+    first_leg = np.asarray(high_plan)[1, :2] - np.asarray(start)[:2]
+    car = make_qcar_state(np.asarray(start)[:2],
+                          theta=float(np.arctan2(first_leg[1], first_leg[0])))
+    track = jax.jit(partial(track_waypoint, p=qcar, n_substeps=n_substeps))
+    chase = jax.jit(partial(pursuit_step, params=pursuit))
+
+    pursuer = jnp.asarray(context["pursuer"], jnp.float32)
+    capture_threshold = cfg.pursuer_radius + 0.02
+    evader_path = []          # car pose per tick (the metric chain)
+    pursuer_path = []         # pursuer per tick
+    substep_path = [np.asarray(start)[None, :2]]
+    plans = []
+    tracking_err = []
+    for tick in range(max_steps):
+        state, plan, next_wp, reached = planner.controller_step(
+            params, state, pursuer, obstacle_pts, static_apf_pts, goal,
+            n_samples=n_samples, scene_latents=scene_latents)
+        car, subpath = track(car, next_wp[:2])
+        pursuer = chase(jnp.asarray(tick, jnp.float32), pursuer, car.pose)
+
+        pose = np.asarray(car.pose)
+        evader_path.append(pose)
+        pursuer_path.append(np.asarray(pursuer))
+        substep_path.append(np.asarray(subpath))
+        plans.append(np.asarray(plan))
+        tracking_err.append(float(np.linalg.norm(
+            pose - np.asarray(next_wp)[:2])))
+
+        if float(np.linalg.norm(pose - np.asarray(pursuer))) <= capture_threshold:
+            break                                    # caught — stop driving
+        if bool(reached) or (float(np.linalg.norm(
+                pose - np.asarray(goal)[:2])) <= cfg.safe_threshold):
+            # Planner done (ref :620-621 goal exit) — but unlike the
+            # point-mass harness the car LAGS its plan, so finish the
+            # approach: pure pursuit straight at the goal, pursuer still
+            # live and capture still possible (the physical run's landing
+            # phase).
+            goal_xy = jnp.asarray(np.asarray(goal)[:2])
+            for extra in range(finish_ticks):
+                if float(np.linalg.norm(np.asarray(car.pose) -
+                                        np.asarray(goal)[:2])) \
+                        <= 0.8 * goal_safe_threshold:
+                    break
+                car, subpath = track(car, goal_xy)
+                pursuer = chase(jnp.asarray(tick + 1 + extra, jnp.float32),
+                                pursuer, car.pose)
+                pose = np.asarray(car.pose)
+                evader_path.append(pose)
+                pursuer_path.append(np.asarray(pursuer))
+                substep_path.append(np.asarray(subpath))
+                tracking_err.append(float(np.linalg.norm(
+                    pose - np.asarray(goal)[:2])))
+                if float(np.linalg.norm(pose - np.asarray(pursuer))) \
+                        <= capture_threshold:
+                    break
+            break
+
+    chain_exec = np.stack(evader_path)
+    chain_start = np.concatenate([np.asarray(start)[None, :2], chain_exec])
+    chain_obs = np.stack(pursuer_path)
+    sub_xy = np.concatenate(substep_path)
+
+    metrics = dynamic_episode_metrics(
+        chain_start, chain_obs, np.asarray(goal)[:2], goal_safe_threshold,
+        static_collision_of_path(chain_exec, context["box_centers"],
+                                 context["box_sizes"]),
+        cfg.pursuer_radius)
+    metrics["n_steps"] = len(evader_path)
+    metrics["tracking_error_mean"] = float(np.mean(tracking_err))
+    metrics["tracking_error_max"] = float(np.max(tracking_err))
+    # the fine-grained path can clip corners the tick-level chain misses
+    metrics["substep_static_collision"] = bool(static_collision_of_path(
+        sub_xy, context["box_centers"], context["box_sizes"]))
+    return {
+        "metrics": metrics,
+        "chains": {"chain_start": chain_start[1:], "chain_obs": chain_obs,
+                   "plans": np.stack(plans), "n_steps": len(evader_path)},
+        "substep_path": sub_xy,
+        "high_plan": np.asarray(high_plan),
+        "context": context,
+    }

@@ -1,0 +1,138 @@
+"""QCar deployment layer: kinematic bicycle, pure pursuit, closed loop.
+
+Covers the non-holonomic vehicle model (`ramp_tpu.scenes.vehicles`) and the
+QCar pursuit-evasion episode (`ramp_tpu.eval.qcar`) that mirrors the
+reference's physical demos (ref README.md:58-86, which ship no code).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ramp_tpu.scenes.vehicles import (QCarParams, bicycle_step,
+                                      make_qcar_state, pure_pursuit_control,
+                                      track_waypoint)
+
+
+def test_bicycle_straight_line():
+    """Zero steering: the car moves along its heading, speed capped."""
+    p = QCarParams()
+    s = make_qcar_state([0.0, 0.0], theta=0.0, v=p.v_max)
+    for _ in range(10):
+        s = bicycle_step(s, jnp.asarray([10.0, 0.0]), p)  # huge accel, no steer
+    assert float(s.v) == pytest.approx(p.v_max)           # speed clipped
+    assert float(s.y) == pytest.approx(0.0, abs=1e-7)     # no lateral drift
+    assert float(s.x) == pytest.approx(p.v_max * p.dt * 10, rel=1e-5)
+
+
+def test_bicycle_limits_and_no_reverse():
+    """Steering clips to the physical lock; braking can't go below zero."""
+    p = QCarParams()
+    s = make_qcar_state([0.0, 0.0], v=0.0)
+    s2 = bicycle_step(s, jnp.asarray([-100.0, 100.0]), p)
+    assert float(s2.v) == 0.0                             # no reverse
+    # a stopped car cannot turn (non-holonomic: theta' ~ v)
+    assert float(s2.theta) == pytest.approx(0.0)
+    # at full lock and full speed the yaw rate matches v/L tan(delta_max)
+    s3 = bicycle_step(make_qcar_state([0, 0], v=p.v_max),
+                      jnp.asarray([0.0, 100.0]), p)
+    expected = p.v_max / p.wheelbase * np.tan(p.steer_max) * p.dt
+    assert float(s3.theta) == pytest.approx(expected, rel=1e-5)
+
+
+def test_min_turning_radius():
+    """Full-lock circle has radius L/tan(delta_max) — the car cannot spin
+    in place or move sideways (the constraint the reference's demos call
+    'non-holonomic motion constraints')."""
+    p = QCarParams()
+    s = make_qcar_state([0.0, 0.0], theta=0.0, v=p.v_max)
+    xs, ys = [], []
+    for _ in range(2000):
+        s = bicycle_step(s, jnp.asarray([0.0, p.steer_max]), p)
+        xs.append(float(s.x)); ys.append(float(s.y))
+    xs, ys = np.asarray(xs), np.asarray(ys)
+    r_expected = p.wheelbase / np.tan(p.steer_max)
+    # fit the circle center as the mean, then check radius spread is tiny
+    cx, cy = xs.mean(), ys.mean()
+    radii = np.hypot(xs - cx, ys - cy)
+    assert radii.mean() == pytest.approx(r_expected, rel=0.05)
+    assert radii.std() < 0.05 * r_expected
+
+
+def test_pure_pursuit_steers_toward_target():
+    s = make_qcar_state([0.0, 0.0], theta=0.0, v=0.2)
+    left = pure_pursuit_control(s, jnp.asarray([0.3, 0.3]))
+    right = pure_pursuit_control(s, jnp.asarray([0.3, -0.3]))
+    ahead = pure_pursuit_control(s, jnp.asarray([0.5, 0.0]))
+    assert float(left[1]) > 0 > float(right[1])
+    assert float(ahead[1]) == pytest.approx(0.0, abs=1e-6)
+    # far target at low speed: accelerate
+    assert float(ahead[0]) > 0
+
+
+def test_track_waypoint_converges():
+    """Repeated ticks drive the car onto a reachable waypoint; the substep
+    trace has the right shape and ends at the new state."""
+    target = jnp.asarray([0.25, 0.1])
+    s = make_qcar_state([0.0, 0.0], theta=0.0)
+    d0 = float(jnp.linalg.norm(s.pose - target))
+    for _ in range(40):
+        s, sub = track_waypoint(s, target, n_substeps=5)
+    assert sub.shape == (5, 2)
+    np.testing.assert_allclose(np.asarray(sub[-1]), np.asarray(s.pose))
+    d1 = float(jnp.linalg.norm(s.pose - target))
+    assert d1 < 0.02 < d0
+
+
+def test_track_waypoint_jits_once():
+    """One dispatch per planner tick: the tracker is jittable end to end."""
+    f = jax.jit(track_waypoint, static_argnames=("n_substeps",))
+    s = make_qcar_state([0.0, 0.0])
+    s, sub = f(s, jnp.asarray([0.1, 0.0]), n_substeps=3)
+    assert sub.shape == (3, 2)
+    assert np.isfinite(np.asarray(sub)).all()
+
+
+@pytest.mark.slow
+def test_qcar_episode_tiny():
+    """Closed-loop QCar episode on a tiny planner: real tracking error feeds
+    back into the loop, metrics and chains are well-formed."""
+    from ramp_tpu.eval.qcar import run_qcar_episode
+    from ramp_tpu.planners.dynamic import DynamicPlanner, DynamicPlannerConfig
+
+    cfg = DynamicPlannerConfig(horizon=12, n_diffusion_steps=10,
+                               unet_input_dim=8, unet_dim_mults_option=0,
+                               ddim_steps_high=5, ddim_steps_low=2,
+                               max_iterations=3, points_per_obstacle=8,
+                               dtype="float32")
+    p = DynamicPlanner(cfg)
+    params = p.init_params(jax.random.PRNGKey(0), n_obstacles=4, n_points=8)
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (4, 8, 2),
+                             minval=-0.8, maxval=0.8)
+    ctx = {"start": np.asarray([-0.8, -0.8, 0.0, 0.0], np.float32),
+           "goal": np.asarray([0.8, 0.8, 0.0, 0.0], np.float32),
+           "pursuer": np.asarray([0.0, 0.8], np.float32),
+           "box_centers": np.full((1, 2), 5.0, np.float32),  # out of the way
+           "box_sizes": np.full((1, 2), 0.1, np.float32)}
+    res = run_qcar_episode(p, params, pts, np.asarray(pts).reshape(-1, 2),
+                           ctx, n_samples=3, max_steps=6,
+                           key=jax.random.PRNGKey(2))
+    m = res["metrics"]
+    for k in ("captured", "goal_reached", "score", "tracking_error_mean",
+              "substep_static_collision", "n_steps"):
+        assert k in m
+    n = res["chains"]["n_steps"]
+    assert 1 <= n <= 6
+    assert res["chains"]["chain_start"].shape == (n, 2)
+    assert res["chains"]["chain_obs"].shape == (n, 2)
+    assert res["chains"]["plans"].shape == (n, 12, 4)
+    # substep trace: start row + n ticks x 5 substeps
+    assert res["substep_path"].shape == (1 + 5 * n, 2)
+    assert np.isfinite(res["substep_path"]).all()
+    # the bicycle cannot teleport: substep-to-substep motion is bounded by
+    # v_max * dt (per-substep displacement cap)
+    from ramp_tpu.scenes.vehicles import QCarParams
+    q = QCarParams()
+    steps = np.linalg.norm(np.diff(res["substep_path"], axis=0), axis=-1)
+    assert steps.max() <= q.v_max * q.dt + 1e-6
+    assert m["tracking_error_mean"] >= 0.0
