@@ -78,6 +78,17 @@ for pair in "dbase|base" "dw35|w35" "dw45|w45"; do
     || echo "dynamic $dst: probe eval_dynab_${src}.json missing"
 done
 
+# QCar non-holonomic closed loop (both physical scenarios, 10 episodes
+# each — minutes at chip speed) + a README GIF
+if [ ! -f eval_results_qcar.json ]; then
+  log "qcar demo"
+  python scripts/qcar_demo.py --dataset dataset/EnvPredator_v2 \
+      --checkpoints artifacts/weights/predator_v2_60k.npz \
+      --n-episodes 10 --gif-dir gifs \
+      --results eval_results_qcar.json > logs/qcar.out 2>&1 \
+      || echo "qcar FAILED"
+fi
+
 # APF backend A/B (XLA-fused vs the Pallas kernel) — rerun on the
 # post-parity-fix code (pre-fix chip numbers: 18.97 vs 18.85 ms).
 # Write to a tmp file and mv only on success: redirecting straight to the
