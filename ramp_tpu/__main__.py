@@ -32,6 +32,7 @@ COMMANDS = {
     "export-weights": "export_weights",
     "cross-engine-eval": "cross_engine_eval",
     "profile-static": "profile_static",
+    "qcar": "qcar_demo",
 }
 
 
