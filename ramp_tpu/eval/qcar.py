@@ -32,6 +32,71 @@ from ramp_tpu.scenes.vehicles import (QCarParams, make_qcar_state,
                                       track_waypoint)
 
 
+def _episode_summary(chain_exec, chain_obs, plans, sub_xy, tracking_err,
+                     high_plan, context, goal, goal_safe_threshold,
+                     pursuer_radius) -> Dict:
+    """Shared scoring/packaging for both engines (host loop and scan)."""
+    start = np.asarray(context["start"], np.float32)
+    chain_start = np.concatenate([start[None, :2], chain_exec])
+    metrics = dynamic_episode_metrics(
+        chain_start, chain_obs, np.asarray(goal)[:2], goal_safe_threshold,
+        static_collision_of_path(chain_exec, context["box_centers"],
+                                 context["box_sizes"]),
+        pursuer_radius)
+    metrics["n_steps"] = len(chain_exec)
+    metrics["tracking_error_mean"] = float(np.mean(tracking_err))
+    metrics["tracking_error_max"] = float(np.max(tracking_err))
+    # the fine-grained path can clip corners the tick-level chain misses
+    metrics["substep_static_collision"] = bool(static_collision_of_path(
+        sub_xy, context["box_centers"], context["box_sizes"]))
+    return {
+        "metrics": metrics,
+        "chains": {"chain_start": chain_start[1:], "chain_obs": chain_obs,
+                   "plans": plans, "n_steps": len(chain_exec)},
+        "substep_path": sub_xy,
+        "high_plan": np.asarray(high_plan),
+        "context": context,
+    }
+
+
+def run_qcar_episode_scan(planner, params, obstacle_pts, static_apf_pts,
+                          context: Dict, n_samples: int = 35,
+                          qcar: QCarParams = QCarParams(),
+                          n_substeps: int = 5, finish_ticks: int = 15,
+                          goal_safe_threshold: float = 0.25,
+                          key: Optional[jax.Array] = None) -> Dict:
+    """One closed-loop QCar episode in ONE device dispatch.
+
+    Same episode as `run_qcar_episode` (identical RNG stream, tested
+    equivalent) but the whole loop — replans, bicycle substeps, pursuer,
+    exits — runs inside `DynamicPlanner.run_vehicle_episode`'s jitted scan,
+    so a chip pays one dispatch per EPISODE instead of per tick. The number
+    of planner ticks is the config's `max_iterations` (the host engine's
+    `max_steps` analog).
+    """
+    key = jax.random.PRNGKey(0) if key is None else key
+    start = jnp.asarray(context["start"], jnp.float32)
+    goal = jnp.asarray(context["goal"], jnp.float32)
+    res = planner.run_vehicle_episode(
+        params, key, jnp.asarray(obstacle_pts, jnp.float32),
+        jnp.asarray(static_apf_pts, jnp.float32), start, goal,
+        jnp.asarray(context["pursuer"], jnp.float32), n_samples=n_samples,
+        qcar=qcar, n_substeps=n_substeps, finish_ticks=finish_ticks,
+        goal_safe_threshold=goal_safe_threshold)
+    n = max(int(res.n_steps), 1)
+    chain_exec = np.asarray(res.car_states)[:n, :2]
+    chain_obs = np.asarray(res.pursuer_centers)[:n]
+    sub_xy = np.concatenate([
+        np.asarray(start)[None, :2],
+        np.asarray(res.substeps)[:n].reshape(-1, 2)])
+    tracking_err = np.linalg.norm(
+        chain_exec - np.asarray(res.targets)[:n], axis=-1)
+    return _episode_summary(chain_exec, chain_obs, np.asarray(res.plans)[:n],
+                            sub_xy, tracking_err, res.high_plan, context,
+                            np.asarray(goal), goal_safe_threshold,
+                            planner.config.pursuer_radius)
+
+
 def run_qcar_episode(planner, params, obstacle_pts, static_apf_pts,
                      context: Dict, n_samples: int = 35,
                      qcar: QCarParams = QCarParams(), n_substeps: int = 5,
@@ -116,27 +181,8 @@ def run_qcar_episode(planner, params, obstacle_pts, static_apf_pts,
                     break
             break
 
-    chain_exec = np.stack(evader_path)
-    chain_start = np.concatenate([np.asarray(start)[None, :2], chain_exec])
-    chain_obs = np.stack(pursuer_path)
-    sub_xy = np.concatenate(substep_path)
-
-    metrics = dynamic_episode_metrics(
-        chain_start, chain_obs, np.asarray(goal)[:2], goal_safe_threshold,
-        static_collision_of_path(chain_exec, context["box_centers"],
-                                 context["box_sizes"]),
-        cfg.pursuer_radius)
-    metrics["n_steps"] = len(evader_path)
-    metrics["tracking_error_mean"] = float(np.mean(tracking_err))
-    metrics["tracking_error_max"] = float(np.max(tracking_err))
-    # the fine-grained path can clip corners the tick-level chain misses
-    metrics["substep_static_collision"] = bool(static_collision_of_path(
-        sub_xy, context["box_centers"], context["box_sizes"]))
-    return {
-        "metrics": metrics,
-        "chains": {"chain_start": chain_start[1:], "chain_obs": chain_obs,
-                   "plans": np.stack(plans), "n_steps": len(evader_path)},
-        "substep_path": sub_xy,
-        "high_plan": np.asarray(high_plan),
-        "context": context,
-    }
+    return _episode_summary(np.stack(evader_path), np.stack(pursuer_path),
+                            np.stack(plans), np.concatenate(substep_path),
+                            tracking_err, high_plan, context,
+                            np.asarray(goal), goal_safe_threshold,
+                            cfg.pursuer_radius)

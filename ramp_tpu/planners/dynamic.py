@@ -133,6 +133,21 @@ class EpisodeResult(NamedTuple):
     high_plan: jax.Array      # [H, D] STAGE I plan
 
 
+class VehicleEpisodeResult(NamedTuple):
+    """Per-tick outputs of the vehicle-in-the-loop engine (fixed length
+    max_iterations + finish_ticks)."""
+    plans: jax.Array            # [K, H, D] selected plan per tick
+    pursuer_centers: jax.Array  # [K, 2]
+    car_states: jax.Array       # [K, 4] bicycle [x, y, theta, v] per tick
+    substeps: jax.Array         # [K, S, 2] low-level substep positions
+    targets: jax.Array          # [K, 2] waypoint the car tracked this tick
+    valid: jax.Array            # [K] bool — tick executed before episode end
+    n_steps: jax.Array          # scalar int
+    high_plan: jax.Array        # [H, D] STAGE I plan
+    captured: jax.Array         # scalar bool (device-side capture exit)
+    planner_steps: jax.Array    # scalar int — stage-II replans executed
+
+
 def _smooth_segment(x: jax.Array, stepp: jax.Array, window: int,
                     dt: float, max_vel: float) -> jax.Array:
     """sm() applied at rows [stepp+1, stepp+window]. ref :192-214, :571-577.
@@ -668,6 +683,189 @@ class DynamicPlanner:
         return self._run_jit[n_samples](params, key, obstacle_pts, static_apf_pts,
                                         start, goal, pursuer_init,
                                         self._guide_w())
+
+    # ------------------------------------------ vehicle-in-the-loop engine
+    # `eval.qcar.run_qcar_episode` drives the non-holonomic car from the
+    # host: one `controller_step` dispatch per tick, which on the real chip
+    # pays tunnel RTT per replan. This engine folds the WHOLE closed loop —
+    # stage-II replan, pure-pursuit tracking substeps, pursuer update,
+    # capture/goal exits and the landing phase — into one jitted scan, the
+    # same design as `_run` but with the kinematic bicycle in the carry
+    # (the car's ACTUAL pose feeds the pursuer and the exits). RNG splits
+    # mirror `begin_episode`/`controller_step` exactly, so the two engines
+    # produce identical chains for the same key (tested).
+
+    def _run_vehicle(self, params, key, obstacle_pts, static_apf_pts, start,
+                     goal, pursuer_init, guide_w, n_samples, qcar,
+                     n_substeps, finish_ticks, goal_safe_threshold):
+        from ramp_tpu.scenes.vehicles import QCarState, track_waypoint
+
+        cfg = self.config
+        h, d = cfg.horizon, cfg.state_dim
+        latents = self.encoder.apply(params["encoder"], obstacle_pts[None])
+        fold = cfg_fold(latents[0], guide_w)
+        endpoints = dfn.Endpoints(start=start, goal=goal)
+        goal_state = goal
+        obstacle_pts_flat = obstacle_pts.reshape(-1, 2)
+        ts_high = ddim_timesteps(cfg.n_diffusion_steps, cfg.ddim_steps_high)
+
+        # STAGE I (identical to `begin_episode`, same key schedule)
+        key, k_init = jax.random.split(key)
+        x = jax.random.normal(k_init, (n_samples, h, d), jnp.float32)
+        x = dfn.apply_hard_conditioning(x, endpoints)
+        for t_scalar in ts_high:
+            x = self._ddim_step(params, fold, x, int(t_scalar), endpoints)
+        sel = select_best_trajectory(x, obstacle_pts,
+                                     cfg.collision_threshold_high)
+        fallback = jnp.argmin(collision_counts(x, obstacle_pts_flat,
+                                               cfg.collision_threshold_high))
+        best = jnp.where(sel.any_free, sel.best_index, fallback)
+        high_plan = x[best]
+        history0 = jnp.zeros((h, d)).at[0].set(high_plan[0])
+
+        # car placed at the start pose facing the plan's first leg
+        first_leg = high_plan[1, :2] - start[:2]
+        car0 = QCarState(start[0], start[1],
+                         jnp.arctan2(first_leg[1], first_leg[0]),
+                         jnp.asarray(0.0, jnp.float32))
+        capture_threshold = cfg.pursuer_radius + 0.02
+
+        class Carry(NamedTuple):
+            x_best: jax.Array
+            history: jax.Array
+            h_count: jax.Array
+            pursuer: jax.Array
+            key: jax.Array
+            car: QCarState
+            step: jax.Array          # stage-II replans executed so far
+            fin: jax.Array           # landing-phase ticks consumed
+            planner_done: jax.Array  # goal exit fired; car still landing
+            done: jax.Array          # episode over (frozen thereafter)
+            captured: jax.Array
+
+        carry0 = Carry(high_plan, history0, jnp.asarray(1), pursuer_init,
+                       key, car0, jnp.asarray(0), jnp.asarray(0),
+                       jnp.asarray(False), jnp.asarray(False),
+                       jnp.asarray(False))
+
+        def control_step(carry: Carry, k_idx):
+            key, k_pts, k_refine, k_replan = jax.random.split(carry.key, 4)
+            pursuer_obs = carry.pursuer
+            pursuer_pts = generate_sphere_points(
+                k_pts, pursuer_obs, jnp.asarray(cfg.pursuer_radius),
+                cfg.points_per_obstacle)
+            x_sel, new_history, _cur, next_state, reached = \
+                self._stage2_core(params, fold, carry.x_best, carry.history,
+                                  carry.h_count, carry.step, k_refine,
+                                  k_replan, endpoints, static_apf_pts,
+                                  pursuer_pts, pursuer_obs, goal_state,
+                                  obstacle_pts_flat, n_samples)
+
+            # planner state only advances while it is live and in budget
+            plan_upd = jnp.logical_and(
+                ~jnp.logical_or(carry.planner_done, carry.done),
+                carry.step < cfg.max_iterations)
+            x_best = jnp.where(plan_upd, x_sel, carry.x_best)
+            history = jnp.where(plan_upd, new_history, carry.history)
+            h_count = carry.h_count + plan_upd
+            step = carry.step + plan_upd
+
+            # the car tracks the next waypoint — or, while landing, the goal
+            target = jnp.where(carry.planner_done, goal_state[:2],
+                               next_state[:2])
+            car_new, subpath = track_waypoint(carry.car, target, qcar,
+                                              n_substeps)
+            car = jax.tree_util.tree_map(
+                lambda old, new: jnp.where(carry.done, old, new),
+                carry.car, car_new)
+            subpath = jnp.where(carry.done,
+                                jnp.broadcast_to(carry.car.pose,
+                                                 subpath.shape), subpath)
+            pursuer = jnp.where(carry.done, carry.pursuer,
+                                pursuit_step(k_idx, carry.pursuer, car.pose,
+                                             cfg.pursuit))
+
+            dist_goal = jnp.linalg.norm(car.pose - goal_state[:2])
+            captured_now = jnp.logical_and(
+                ~carry.done,
+                jnp.linalg.norm(car.pose - pursuer) <= capture_threshold)
+            # goal exit (ref :620-621): the PLAN reached the goal, or the
+            # car itself is inside the safe radius
+            planner_done = jnp.logical_or(
+                carry.planner_done,
+                jnp.logical_or(jnp.logical_and(reached, plan_upd),
+                               dist_goal < cfg.safe_threshold))
+            fin = carry.fin + jnp.logical_and(planner_done, ~carry.done)
+            landed = jnp.logical_and(planner_done,
+                                     dist_goal <= 0.8 * goal_safe_threshold)
+            budget_out = jnp.logical_and(step >= cfg.max_iterations,
+                                         ~planner_done)
+            done = (carry.done | captured_now | landed | budget_out
+                    | (fin > finish_ticks))
+            captured = jnp.logical_or(carry.captured, captured_now)
+
+            new_carry = Carry(x_best, history, h_count, pursuer, key, car,
+                              step, fin, planner_done, done, captured)
+            out = (jnp.where(plan_upd, x_sel, carry.x_best), pursuer,
+                   jnp.stack([car.x, car.y, car.theta, car.v]), subpath,
+                   target, ~carry.done)
+            return new_carry, out
+
+        n_ticks = cfg.max_iterations + finish_ticks
+        carry_f, (plans, pursuers, cars, subpaths, targets, valid) = \
+            jax.lax.scan(control_step, carry0, jnp.arange(n_ticks))
+        return VehicleEpisodeResult(
+            plans=plans, pursuer_centers=pursuers, car_states=cars,
+            substeps=subpaths, targets=targets, valid=valid,
+            n_steps=jnp.sum(valid), high_plan=high_plan,
+            captured=carry_f.captured, planner_steps=carry_f.step)
+
+    def run_vehicle_episode(self, params, key, obstacle_pts, static_apf_pts,
+                            start, goal, pursuer_init, n_samples: int = 35,
+                            qcar=None, n_substeps: int = 5,
+                            finish_ticks: int = 15,
+                            goal_safe_threshold: float = 0.25,
+                            ) -> "VehicleEpisodeResult":
+        """One non-holonomic closed-loop episode in ONE device dispatch."""
+        if not self.config.use_ddim:
+            raise NotImplementedError("vehicle engine requires use_ddim=True")
+        from ramp_tpu.scenes.vehicles import QCarParams
+        qcar = QCarParams() if qcar is None else qcar
+        sig = ("vehicle", n_samples, n_substeps, finish_ticks,
+               tuple(qcar), goal_safe_threshold)
+        if sig not in self._run_jit:
+            self._run_jit[sig] = jax.jit(partial(
+                self._run_vehicle, n_samples=n_samples, qcar=qcar,
+                n_substeps=n_substeps, finish_ticks=finish_ticks,
+                goal_safe_threshold=goal_safe_threshold))
+        return self._run_jit[sig](params, key, obstacle_pts, static_apf_pts,
+                                  start, goal, pursuer_init, self._guide_w())
+
+    def run_vehicle_episodes_batch(self, params, keys, obstacle_pts,
+                                   static_apf_pts, starts, goals,
+                                   pursuer_inits, n_samples: int = 35,
+                                   qcar=None, n_substeps: int = 5,
+                                   finish_ticks: int = 15,
+                                   goal_safe_threshold: float = 0.25,
+                                   ) -> "VehicleEpisodeResult":
+        """A BATCH of vehicle episodes in one dispatch (vmapped episodes,
+        leading axis K on everything but params — the `run_episodes_batch`
+        analog for the non-holonomic loop)."""
+        if not self.config.use_ddim:
+            raise NotImplementedError("vehicle engine requires use_ddim=True")
+        from ramp_tpu.scenes.vehicles import QCarParams
+        qcar = QCarParams() if qcar is None else qcar
+        sig = ("vehicle_batch", n_samples, n_substeps, finish_ticks,
+               tuple(qcar), goal_safe_threshold)
+        if sig not in self._run_jit:
+            self._run_jit[sig] = jax.jit(jax.vmap(
+                partial(self._run_vehicle, n_samples=n_samples, qcar=qcar,
+                        n_substeps=n_substeps, finish_ticks=finish_ticks,
+                        goal_safe_threshold=goal_safe_threshold),
+                in_axes=(None, 0, 0, 0, 0, 0, 0, None)))
+        return self._run_jit[sig](params, keys, obstacle_pts, static_apf_pts,
+                                  starts, goals, pursuer_inits,
+                                  self._guide_w())
 
     # --------------------------------------------- per-step controller API
     # The eval engine above simulates the pursuer inside one jitted episode

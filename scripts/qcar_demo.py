@@ -53,6 +53,10 @@ def main():
     p.add_argument("--n-samples", type=int, default=35)
     p.add_argument("--max-steps", type=int, default=60)
     p.add_argument("--substeps", type=int, default=5)
+    p.add_argument("--engine", default="scan", choices=["scan", "host"],
+                   help="scan: whole episode in one jitted dispatch "
+                        "(fast eval); host: one controller_step dispatch "
+                        "per tick (the deployment contract)")
     p.add_argument("--unseen-apf-only", action="store_true",
                    help="scenario 2: hide the unseen boxes from the encoder "
                         "(APF-only reactive avoidance)")
@@ -72,7 +76,7 @@ def main():
 
     from ramp_tpu.data.dataset import TrajectoryDataset
     from ramp_tpu.eval.harness import sample_context
-    from ramp_tpu.eval.qcar import run_qcar_episode
+    from ramp_tpu.eval.qcar import run_qcar_episode, run_qcar_episode_scan
     from ramp_tpu.eval.stats import ci_fields, mean_ci95, rate_ci95
     from ramp_tpu.planners.dynamic import DynamicPlanner, DynamicPlannerConfig
     from ramp_tpu.presets import resolve_dynamic_preset
@@ -89,6 +93,7 @@ def main():
                                state_dim=dataset.state_dim,
                                unet_input_dim=args.unet_dim,
                                unet_dim_mults_option=args.dim_mults_option,
+                               max_iterations=args.max_steps,
                                **overrides)
     planner = DynamicPlanner(cfg)
     n_obs, n_pts = dataset.obstacle_points.shape[1:3]
@@ -140,10 +145,17 @@ def main():
             ctx["pursuer"] = pur.astype(np.float32)
             ctx["box_centers"], ctx["box_sizes"] = centers, sizes
             key, k = jax.random.split(key)
-            res = run_qcar_episode(planner, params, obstacle_pts, apf_pts,
-                                   ctx, n_samples=args.n_samples,
-                                   n_substeps=args.substeps,
-                                   max_steps=args.max_steps, key=k)
+            if args.engine == "scan":
+                res = run_qcar_episode_scan(planner, params, obstacle_pts,
+                                            apf_pts, ctx,
+                                            n_samples=args.n_samples,
+                                            n_substeps=args.substeps, key=k)
+            else:
+                res = run_qcar_episode(planner, params, obstacle_pts,
+                                       apf_pts, ctx,
+                                       n_samples=args.n_samples,
+                                       n_substeps=args.substeps,
+                                       max_steps=args.max_steps, key=k)
             m = res["metrics"]
             rows.append(m)
             print(f"scenario {sc} ep {ep}: score={m['score']} "

@@ -93,6 +93,81 @@ def test_track_waypoint_jits_once():
     assert np.isfinite(np.asarray(sub)).all()
 
 
+def _tiny_dynamic_planner():
+    from ramp_tpu.planners.dynamic import DynamicPlanner, DynamicPlannerConfig
+    cfg = DynamicPlannerConfig(horizon=12, n_diffusion_steps=10,
+                               unet_input_dim=8, unet_dim_mults_option=0,
+                               ddim_steps_high=5, ddim_steps_low=2,
+                               max_iterations=3, points_per_obstacle=8,
+                               dtype="float32")
+    p = DynamicPlanner(cfg)
+    params = p.init_params(jax.random.PRNGKey(0), n_obstacles=4, n_points=8)
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (4, 8, 2),
+                             minval=-0.8, maxval=0.8)
+    return p, params, pts
+
+
+@pytest.mark.slow
+def test_scan_engine_matches_host_loop():
+    """The one-dispatch vehicle engine reproduces the host-driven loop:
+    same key -> identical chains, targets, and metrics (the RNG streams of
+    begin_episode/controller_step are mirrored inside the scan)."""
+    from ramp_tpu.eval.qcar import run_qcar_episode, run_qcar_episode_scan
+
+    p, params, pts = _tiny_dynamic_planner()
+    ctx = {"start": np.asarray([-0.8, -0.8, 0.0, 0.0], np.float32),
+           "goal": np.asarray([0.8, 0.8, 0.0, 0.0], np.float32),
+           "pursuer": np.asarray([0.0, 0.8], np.float32),
+           "box_centers": np.full((1, 2), 5.0, np.float32),
+           "box_sizes": np.full((1, 2), 0.1, np.float32)}
+    apf = np.asarray(pts).reshape(-1, 2)
+    key = jax.random.PRNGKey(7)
+    host = run_qcar_episode(p, params, pts, apf, ctx, n_samples=3,
+                            max_steps=3, finish_ticks=4, key=key)
+    scan = run_qcar_episode_scan(p, params, pts, apf, ctx, n_samples=3,
+                                 finish_ticks=4, key=key)
+    assert host["chains"]["n_steps"] == scan["chains"]["n_steps"]
+    np.testing.assert_allclose(scan["chains"]["chain_start"],
+                               host["chains"]["chain_start"], atol=1e-6)
+    np.testing.assert_allclose(scan["chains"]["chain_obs"],
+                               host["chains"]["chain_obs"], atol=1e-6)
+    np.testing.assert_allclose(scan["substep_path"], host["substep_path"],
+                               atol=1e-6)
+    for k in ("captured", "goal_reached", "score"):
+        assert scan["metrics"][k] == host["metrics"][k]
+    assert scan["metrics"]["tracking_error_mean"] == pytest.approx(
+        host["metrics"]["tracking_error_mean"], abs=1e-6)
+
+
+@pytest.mark.slow
+def test_vehicle_episodes_batch():
+    """vmapped vehicle episodes: one dispatch runs K contexts; entry 0
+    matches the solo episode."""
+    p, params, pts0 = _tiny_dynamic_planner()
+    k = 2
+    pts = jnp.stack([pts0, pts0 * 0.9])
+    apf = pts.reshape(k, -1, 2)
+    starts = jnp.tile(jnp.asarray([-0.8, -0.8, 0.0, 0.0]), (k, 1))
+    goals = jnp.tile(jnp.asarray([0.8, 0.8, 0.0, 0.0]), (k, 1))
+    pursuers = jnp.tile(jnp.asarray([0.0, 0.8]), (k, 1))
+    keys = jax.random.split(jax.random.PRNGKey(2), k)
+    res = p.run_vehicle_episodes_batch(params, keys, pts, apf, starts,
+                                       goals, pursuers, n_samples=3,
+                                       finish_ticks=4)
+    n_ticks = 3 + 4
+    assert res.car_states.shape == (k, n_ticks, 4)
+    assert res.plans.shape == (k, n_ticks, 12, 4)
+    assert res.substeps.shape == (k, n_ticks, 5, 2)
+    assert np.isfinite(np.asarray(res.car_states)).all()
+    solo = p.run_vehicle_episode(params, keys[0], pts[0], apf[0], starts[0],
+                                 goals[0], pursuers[0], n_samples=3,
+                                 finish_ticks=4)
+    np.testing.assert_allclose(np.asarray(res.car_states[0]),
+                               np.asarray(solo.car_states), rtol=2e-4,
+                               atol=2e-5)
+    assert int(res.n_steps[0]) == int(solo.n_steps)
+
+
 @pytest.mark.slow
 def test_qcar_episode_tiny():
     """Closed-loop QCar episode on a tiny planner: real tracking error feeds
