@@ -142,6 +142,7 @@ def run_qcar_episode(planner, params, obstacle_pts, static_apf_pts,
             params, state, pursuer, obstacle_pts, static_apf_pts, goal,
             n_samples=n_samples, scene_latents=scene_latents)
         car, subpath = track(car, next_wp[:2])
+        prev_pursuer = np.asarray(pursuer)
         pursuer = chase(jnp.asarray(tick, jnp.float32), pursuer, car.pose)
 
         pose = np.asarray(car.pose)
@@ -152,7 +153,11 @@ def run_qcar_episode(planner, params, obstacle_pts, static_apf_pts,
         tracking_err.append(float(np.linalg.norm(
             pose - np.asarray(next_wp)[:2])))
 
-        if float(np.linalg.norm(pose - np.asarray(pursuer))) <= capture_threshold:
+        # capture exit == the METRIC's capture condition (pose at tick t vs
+        # pursuer at t-1, first checked at t=2 — `dynamic_episode_metrics`
+        # ref DynamicMetrics :140-148), so termination and scoring agree
+        if tick >= 1 and float(np.linalg.norm(
+                pose - prev_pursuer)) <= capture_threshold:
             break                                    # caught — stop driving
         if bool(reached) or (float(np.linalg.norm(
                 pose - np.asarray(goal)[:2])) <= cfg.safe_threshold):
@@ -168,6 +173,7 @@ def run_qcar_episode(planner, params, obstacle_pts, static_apf_pts,
                         <= 0.8 * goal_safe_threshold:
                     break
                 car, subpath = track(car, goal_xy)
+                prev_pursuer = np.asarray(pursuer)
                 pursuer = chase(jnp.asarray(tick + 1 + extra, jnp.float32),
                                 pursuer, car.pose)
                 pose = np.asarray(car.pose)
@@ -176,7 +182,7 @@ def run_qcar_episode(planner, params, obstacle_pts, static_apf_pts,
                 substep_path.append(np.asarray(subpath))
                 tracking_err.append(float(np.linalg.norm(
                     pose - np.asarray(goal)[:2])))
-                if float(np.linalg.norm(pose - np.asarray(pursuer))) \
+                if float(np.linalg.norm(pose - prev_pursuer)) \
                         <= capture_threshold:
                     break
             break

@@ -786,9 +786,13 @@ class DynamicPlanner:
                                              cfg.pursuit))
 
             dist_goal = jnp.linalg.norm(car.pose - goal_state[:2])
-            captured_now = jnp.logical_and(
-                ~carry.done,
-                jnp.linalg.norm(car.pose - pursuer) <= capture_threshold)
+            # capture exit == the METRIC's condition (pose at tick t vs the
+            # pursuer at t-1, first checked at t=2 — dynamic_episode_metrics
+            # offsets the chains this way), so termination and scoring agree
+            captured_now = (
+                ~carry.done & (k_idx >= 1)
+                & (jnp.linalg.norm(car.pose - carry.pursuer)
+                   <= capture_threshold))
             # goal exit (ref :620-621): the PLAN reached the goal, or the
             # car itself is inside the safe radius
             planner_done = jnp.logical_or(
