@@ -5,14 +5,21 @@ w=2 `diffusion_model_static.py:40,164`; dynamic DDIM 10+5 w=2.5
 `diffusion_model_dynamic.py`; 3-D DDPM w=5.75 `inference3d.py`).
 Sweeping the traced guidance knobs on the same trained weights
 (`scripts/static_probe_ab.sh`, `scripts/dynamic_probe_ab.sh`, 3-D grid
-evals; CPU-proxy numbers below, chip reruns queued in
-`scripts/chip_queue.sh`) moves quality substantially with zero
-retraining:
+evals) moves quality substantially with zero retraining.  The static
+rows below are REAL-CHIP numbers (2026-08-19 rerun of the full probe
+table, `eval_ab_*.json`); dynamic/3-D are CPU proxies with chip reruns
+queued in `scripts/chip_queue.sh`:
 
-    static  (24 scenes x 10 contexts x 20 samples, plain success)
-      parity   DDIM-5, w=2   0.733   (the reference configuration)
-      quality  DDIM-5, w=5   0.858   (same latency; plateau — w=6 equal)
-      fast     DDIM-3, w=3   0.846   (~40% lower replan latency)
+    static  (24 scenes x 10 contexts x 20 samples, plain success, chip)
+      parity   DDIM-5, w=2   0.721   (the reference configuration, 46ms)
+      quality  DDIM-5, w=5   0.842   (reference-tight paths: collision
+                                      10.4 / path 1.74 vs parity 10.6 /
+                                      1.61; plateau — w=6 equal, 39ms)
+      fast     DDIM-3, w=5   0.858   (highest success AND lowest p50,
+                                      34ms, but population is looser:
+                                      collision 13.98, path 2.62; full
+                                      96x20 grid confirms 0.8495,
+                                      `eval_results_static_tuned.json`)
 
     dynamic (10-context closed-loop proxy grid, score)
       parity   w=2.5   0.70
@@ -37,7 +44,7 @@ from typing import Optional, Tuple
 STATIC_PRESETS = {
     "parity": {},
     "quality": {"cfg_weight": 5.0},
-    "fast": {"ddim_steps": 3, "cfg_weight": 3.0},
+    "fast": {"ddim_steps": 3, "cfg_weight": 5.0},
 }
 
 DYNAMIC_PRESETS = {

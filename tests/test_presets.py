@@ -12,7 +12,7 @@ def test_parity_is_empty():
 
 def test_presets_resolve():
     assert resolve_static_preset("quality", None, None) == (None, 5.0)
-    assert resolve_static_preset("fast", None, None) == (3, 3.0)
+    assert resolve_static_preset("fast", None, None) == (3, 5.0)
 
 
 def test_explicit_knobs_override_preset():
