@@ -60,7 +60,9 @@ if best != base_name and res[best] > res[base_name] + 0.01:
     print(dict(r.split("|", 1) for r in rows)[best])
 EOF
 )
-if [ -n "$WINNER_FLAGS" ]; then
+if [ -f eval_results_static_tuned.json ]; then
+  log "tuned grid: cached (eval_results_static_tuned.json exists)"
+elif [ -n "$WINNER_FLAGS" ]; then
   log "full tuned grid with: $WINNER_FLAGS"
   # shellcheck disable=SC2086
   python scripts/inference_static.py --dataset $DS --checkpoints $W \
