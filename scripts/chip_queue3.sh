@@ -39,7 +39,10 @@ done
 
 DW=artifacts/weights/predator_v2_60k.npz
 DDS=dataset/EnvPredator_v2
-for p in "w30|--cfg-weight 3.0" "w40|--cfg-weight 4.0"; do
+# h15 is a retry: its first run died on a remote-compile tunnel flake
+# ("response body closed before all bytes were read"), not a code error.
+for p in "w30|--cfg-weight 3.0" "w40|--cfg-weight 4.0" \
+         "h15|--ddim-steps-high 15"; do
   name=${p%%|*}; flags=${p#*|}
   [ -f "eval_dynab_${name}.json" ] && continue
   log "dynamic probe $name: $flags"
