@@ -83,13 +83,36 @@ def wait_for_accelerator(max_wait_s: float, poll_s: float = 30.0) -> bool:
         time.sleep(min(poll_s, max(0.0, deadline - time.monotonic())))
 
 
+def _host_cpu_fingerprint() -> str:
+    """A short stable id of this host's CPU feature set.
+
+    XLA:CPU persists AOT-compiled executables keyed only by program — when a
+    VM migrates to a host with a different feature set (observed here:
+    avx512/amx deltas after a restart), stale entries load with "could lead
+    to SIGILL" errors. Scoping the cache dir by the flags line makes a
+    migrated VM start a fresh cache instead of risking illegal instructions.
+    """
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    import hashlib
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha1(flags.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    return "unknown"
+
+
 def enable_compilation_cache(cache_dir: Optional[str] = None) -> None:
     """Persist compiled executables across processes.
 
     First compiles of the full guided sampler are minutes; the cache brings
-    repeat runs (eval after train, re-running bench) down to seconds.
+    repeat runs (eval after train, re-running bench) down to seconds. The
+    directory is scoped per host-CPU fingerprint (see above).
     """
-    cache_dir = cache_dir or DEFAULT_CACHE_DIR
+    cache_dir = cache_dir or os.path.join(DEFAULT_CACHE_DIR,
+                                          _host_cpu_fingerprint())
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
