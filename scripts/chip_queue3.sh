@@ -41,8 +41,12 @@ DW=artifacts/weights/predator_v2_60k.npz
 DDS=dataset/EnvPredator_v2
 # h15 is a retry: its first run died on a remote-compile tunnel flake
 # ("response body closed before all bytes were read"), not a code error.
+# l3 grounds a possible dynamic `fast` preset: 3 STAGE-II refine steps
+# instead of 5 (~40% less U-Net work per replan).
 for p in "w30|--cfg-weight 3.0" "w40|--cfg-weight 4.0" \
-         "h15|--ddim-steps-high 15"; do
+         "h15|--ddim-steps-high 15" \
+         "l3|--ddim-steps-low 3" \
+         "l3w35|--ddim-steps-low 3 --cfg-weight 3.5"; do
   name=${p%%|*}; flags=${p#*|}
   [ -f "eval_dynab_${name}.json" ] && continue
   log "dynamic probe $name: $flags"
@@ -52,4 +56,15 @@ for p in "w30|--cfg-weight 3.0" "w40|--cfg-weight 4.0" \
       --results "eval_dynab_${name}.json" \
       > "logs/dynab_${name}.out" 2>&1 || echo "probe $name FAILED"
 done
+# 3-D DDIM-5 vs the parity DDPM-25 on the scenes x contexts grid: 5x
+# fewer U-Net calls per plan — a measured 3-D `fast` preset candidate.
+if [ ! -f eval_results_3d_grid_ddim.json ]; then
+  log "3d grid ddim"
+  python scripts/inference3d.py --dataset dataset/EnvSmall3D_v2 \
+      --checkpoints artifacts/weights/planner3d_v2.npz --n-samples 4 \
+      --max-envs 12 --n-contexts 5 --ddim \
+      --results eval_results_3d_grid_ddim.json \
+      > logs/eval_3d_grid_ddim.out 2>&1 || echo "3d ddim grid FAILED"
+fi
+
 log "follow-up probe batch done"

@@ -59,6 +59,11 @@ def main():
     p.add_argument("--preset", default=None, choices=["parity", "quality"],
                    help="measured knob presets (ramp_tpu/presets.py); "
                         "explicit --cfg-weight wins")
+    p.add_argument("--ddim", action="store_true",
+                   help="use the T//5-step DDIM sampler instead of the "
+                        "reference-default DDPM ancestral chain (the "
+                        "reference's dormant ddim=True path, "
+                        "diffusion_model_3d.py:220-257,296-300)")
     args = p.parse_args()
 
     from ramp_tpu.utils.platform import enable_compilation_cache, set_platform
@@ -73,6 +78,8 @@ def main():
     if cfg_weight is not None:
         overrides["cfg_weight"] = cfg_weight
         overrides["compose_weights"] = (cfg_weight, cfg_weight)
+    if args.ddim:
+        overrides["use_ddim"] = True
     cfg = Planner3DConfig(horizon=dataset.horizon, state_dim=dataset.state_dim,
                           unet_input_dim=args.unet_dim,
                           unet_dim_mults_option=args.dim_mults_option,
