@@ -91,6 +91,13 @@ def _host_cpu_fingerprint() -> str:
     avx512/amx deltas after a restart), stale entries load with "could lead
     to SIGILL" errors. Scoping the cache dir by the flags line makes a
     migrated VM start a fresh cache instead of risking illegal instructions.
+
+    Note: cache loads that complain ONLY about `+prefer-no-gather` /
+    `+prefer-no-scatter` are a benign false positive — XLA appends those
+    pseudo tuning flags at compile time but LLVM's runtime host detection
+    never reports them, so the loader's feature check always flags them even
+    on the very host that compiled the entry. The real hazard is a mismatch
+    in ISA features (avx512*/amx*), which this fingerprint scopes away.
     """
     try:
         with open("/proc/cpuinfo") as f:
