@@ -18,7 +18,7 @@ plus tracking-error diagnostics unique to the non-holonomic layer.
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Dict, Optional
 
 import jax
@@ -97,19 +97,34 @@ def run_qcar_episode_scan(planner, params, obstacle_pts, static_apf_pts,
                             planner.config.pursuer_radius)
 
 
+@lru_cache(maxsize=None)
+def _jit_tracker(qcar: QCarParams, n_substeps: int):
+    """Per-(params, substeps) jitted tracking tick, shared across episodes
+    (a fresh `jax.jit(partial(...))` per episode would re-trace every
+    time)."""
+    return jax.jit(partial(track_waypoint, p=qcar, n_substeps=n_substeps))
+
+
+@lru_cache(maxsize=None)
+def _jit_chaser(pursuit: PursuitParams):
+    return jax.jit(partial(pursuit_step, params=pursuit))
+
+
 def run_qcar_episode(planner, params, obstacle_pts, static_apf_pts,
                      context: Dict, n_samples: int = 35,
                      qcar: QCarParams = QCarParams(), n_substeps: int = 5,
                      max_steps: int = 60, finish_ticks: int = 15,
                      goal_safe_threshold: float = 0.25,
-                     pursuit: PursuitParams = PursuitParams(),
+                     pursuit: Optional[PursuitParams] = None,
                      key: Optional[jax.Array] = None) -> Dict:
     """One closed-loop QCar episode. Returns chains + metrics.
 
     obstacle_pts: [O, P, 2] encoder clouds; static_apf_pts: [M, 2] APF
     surface points (may cover MORE boxes than the encoder saw — that is
     scenario 2's unseen-obstacle mechanism); context: start/goal ([4])
-    and pursuer ([2]) in planner frame.
+    and pursuer ([2]) in planner frame. `pursuit` defaults to the
+    planner config's dynamics (what the scan engine always uses), so the
+    two engines stay episode-equivalent for the same key.
     """
     key = jax.random.PRNGKey(0) if key is None else key
     obstacle_pts = jnp.asarray(obstacle_pts, jnp.float32)
@@ -127,8 +142,8 @@ def run_qcar_episode(planner, params, obstacle_pts, static_apf_pts,
     first_leg = np.asarray(high_plan)[1, :2] - np.asarray(start)[:2]
     car = make_qcar_state(np.asarray(start)[:2],
                           theta=float(np.arctan2(first_leg[1], first_leg[0])))
-    track = jax.jit(partial(track_waypoint, p=qcar, n_substeps=n_substeps))
-    chase = jax.jit(partial(pursuit_step, params=pursuit))
+    track = _jit_tracker(qcar, n_substeps)
+    chase = _jit_chaser(cfg.pursuit if pursuit is None else pursuit)
 
     pursuer = jnp.asarray(context["pursuer"], jnp.float32)
     capture_threshold = cfg.pursuer_radius + 0.02
@@ -180,6 +195,10 @@ def run_qcar_episode(planner, params, obstacle_pts, static_apf_pts,
                 evader_path.append(pose)
                 pursuer_path.append(np.asarray(pursuer))
                 substep_path.append(np.asarray(subpath))
+                # the plan is frozen while landing — emit it per tick so the
+                # chains contract (one plan row per executed tick) holds,
+                # exactly as the scan engine does
+                plans.append(plans[-1])
                 tracking_err.append(float(np.linalg.norm(
                     pose - np.asarray(goal)[:2])))
                 if float(np.linalg.norm(pose - prev_pursuer)) \

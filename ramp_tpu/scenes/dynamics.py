@@ -31,7 +31,17 @@ class PursuitParams(NamedTuple):
 
 def pursuit_step(t: jax.Array, pursuer: jax.Array, evader: jax.Array,
                  params: PursuitParams = PursuitParams()) -> jax.Array:
-    """One pursuer update. t: scalar step index; pursuer/evader: [2]."""
+    """One pursuer update. t: scalar step index; pursuer/evader: [2].
+
+    Note the "random" sinusoid is DEGENERATE by reference-exact design:
+    every caller (here and in the reference) passes the INTEGER control-step
+    index as t (ref diffusion_model_dynamic.py:580 `forward_t=k` →
+    :412 `update_dynamic(forward_t, ...)` → utils.py:108 `sin(2*pi*t)`), so
+    sin(2*pi*t) ≈ 0 and cos(2*pi*t) = 1 for all ticks — the term is a
+    constant +y drift of strength `random_strength`, not an oscillation.
+    We reproduce that bias rather than "fix" it, because the models are
+    trained and evaluated against pursuers that move this way.
+    """
     delta = evader - pursuer
     dist = jnp.linalg.norm(delta)
     pursuit_dir = jnp.where(dist > 0, delta / jnp.where(dist > 0, dist, 1.0), delta)

@@ -63,14 +63,17 @@ def bicycle_step(state: QCarState, control: jax.Array,
 
     x' = v cos(theta); y' = v sin(theta); theta' = v/L tan(delta); v' = a.
     Controls and speed are clipped to the platform limits (no reverse —
-    the pure-pursuit layer never asks for it).
+    pure pursuit brakes to rest instead of backing up). Position is
+    clamped to the [-1, 1] arena: the physical room is walled, and the
+    pursuer and all plan waypoints are clipped to the same square, so an
+    unclamped car could sit outside the reachable set of everything else.
     """
     a = jnp.clip(control[0], -p.a_max, p.a_max)
     delta = jnp.clip(control[1], -p.steer_max, p.steer_max)
     v = jnp.clip(state.v + a * p.dt, 0.0, p.v_max)
     theta = state.theta + v / p.wheelbase * jnp.tan(delta) * p.dt
-    return QCarState(x=state.x + v * jnp.cos(theta) * p.dt,
-                     y=state.y + v * jnp.sin(theta) * p.dt,
+    return QCarState(x=jnp.clip(state.x + v * jnp.cos(theta) * p.dt, -1.0, 1.0),
+                     y=jnp.clip(state.y + v * jnp.sin(theta) * p.dt, -1.0, 1.0),
                      theta=theta, v=v)
 
 
@@ -83,13 +86,37 @@ def pure_pursuit_control(state: QCarState, target_xy: jax.Array,
     circular arc through both points). Speed: P-control toward
     v_des = speed_gain * d, capped at v_max — the car slows into the
     waypoint and saturates on long legs.
+
+    A target BEHIND the car (cos(alpha) < 0 in the body frame — e.g. an
+    evasion replan that flips the next waypoint to the other side, or
+    overshoot under tracking lag) is a pure-pursuit blind spot: sin(alpha)
+    ~ 0 near alpha = pi gives delta ~ 0 while v_des grows with distance,
+    so the raw law accelerates straight AWAY from the target. Two cases:
+
+    - behind and FAR (beyond the full-lock turning diameter): a U-turn
+      maneuver — creep at 0.2 v_max under full-lock steering toward the
+      target's side until it returns to the front half-plane (simply
+      braking would deadlock a kinematic bicycle: theta' ~ v).
+    - behind and NEAR (inside the turning diameter — a just-overshot
+      waypoint a full-lock circle cannot re-capture): brake to rest. The
+      stop distance at approach speeds (~v^2 / 2 a_max) is millimetres in
+      planner units, so the car settles on the waypoint instead of
+      orbiting it at creep speed forever.
     """
     dx = target_xy[0] - state.x
     dy = target_xy[1] - state.y
     d = jnp.sqrt(dx * dx + dy * dy) + 1e-8
     alpha = jnp.arctan2(dy, dx) - state.theta
-    delta = jnp.arctan2(2.0 * p.wheelbase * jnp.sin(alpha), d)
-    v_des = jnp.minimum(p.speed_gain * d, p.v_max)
+    behind = jnp.cos(alpha) < 0.0
+    can_uturn = d > 2.0 * p.wheelbase / jnp.tan(p.steer_max)
+    uturn = jnp.logical_and(behind, can_uturn)
+    delta = jnp.where(
+        uturn,
+        jnp.where(jnp.sin(alpha) >= 0.0, p.steer_max, -p.steer_max),
+        jnp.arctan2(2.0 * p.wheelbase * jnp.sin(alpha), d))
+    v_des = jnp.where(behind,
+                      jnp.where(can_uturn, 0.2 * p.v_max, 0.0),
+                      jnp.minimum(p.speed_gain * d, p.v_max))
     accel = (v_des - state.v) / p.dt
     return jnp.stack([accel, delta])
 

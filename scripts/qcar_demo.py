@@ -105,7 +105,6 @@ def main():
     base_sizes = np.asarray(dataset.box_sizes[idx])
     if base_sizes.ndim == 1:
         base_sizes = np.repeat(base_sizes[:, None], 2, axis=-1)
-    ppo = dataset.obstacle_points.shape[2]
 
     scenarios = ["1", "2"] if args.scenario == "both" else [args.scenario]
     rng = np.random.default_rng(args.seed)
@@ -124,7 +123,7 @@ def main():
         enc_sizes = base_sizes if (sc == "2" and args.unseen_apf_only) \
             else sizes
         obstacle_pts = scene_obstacle_points_np(enc_centers, enc_sizes,
-                                                points_per_box=ppo, rng=rng)
+                                                points_per_box=n_pts, rng=rng)
         # APF surface points always cover every physical box (APF-variant
         # distribution, matching the eval harness / ref APFhelper_dynamic)
         apf_pts = np.concatenate([
@@ -138,9 +137,15 @@ def main():
         from ramp_tpu.data.generator import sample_free_point
         for ep in range(args.n_episodes):
             ctx = sample_context(rng, centers, sizes)
+            # farthest of up to 100 free draws — never silently accept a
+            # pursuer spawned on top of the start (instant capture)
+            pur, best_d = None, -1.0
             for _ in range(100):
-                pur = sample_free_point(centers, sizes, rng)
-                if np.linalg.norm(pur - ctx["start"][:2]) > 0.5:
+                cand = sample_free_point(centers, sizes, rng)
+                d = float(np.linalg.norm(cand - ctx["start"][:2]))
+                if d > best_d:
+                    pur, best_d = cand, d
+                if d > 0.5:
                     break
             ctx["pursuer"] = pur.astype(np.float32)
             ctx["box_centers"], ctx["box_sizes"] = centers, sizes

@@ -211,3 +211,63 @@ def test_qcar_episode_tiny():
     steps = np.linalg.norm(np.diff(res["substep_path"], axis=0), axis=-1)
     assert steps.max() <= q.v_max * q.dt + 1e-6
     assert m["tracking_error_mean"] >= 0.0
+
+
+def test_pure_pursuit_behind_target_uturn():
+    """A target behind the car commands a braking U-turn (creep speed +
+    full-lock steering toward the target's side), never acceleration away
+    from it — and the tracker recovers and converges."""
+    p = QCarParams()
+    s = make_qcar_state([0.0, 0.0], theta=0.0, v=p.v_max)
+    behind = pure_pursuit_control(s, jnp.asarray([-0.5, 0.05]), p)
+    assert float(behind[0]) < 0.0                      # braking, not fleeing
+    assert float(behind[1]) == pytest.approx(p.steer_max)   # full lock left
+    behind_r = pure_pursuit_control(s, jnp.asarray([-0.5, -0.05]), p)
+    assert float(behind_r[1]) == pytest.approx(-p.steer_max)
+    # the tracker turns around and converges instead of driving away
+    target = jnp.asarray([-0.4, 0.0])
+    for _ in range(120):
+        s, _ = track_waypoint(s, target, n_substeps=5)
+    assert float(jnp.linalg.norm(s.pose - target)) < 0.05
+
+
+def test_bicycle_stays_in_arena():
+    """The walled [-1, 1] arena: driving at the boundary clamps position
+    (the pursuer and all plan waypoints are clipped to the same square)."""
+    p = QCarParams()
+    s = make_qcar_state([0.999, 0.0], theta=0.0, v=p.v_max)
+    for _ in range(50):
+        s = bicycle_step(s, jnp.asarray([p.a_max, 0.0]), p)
+    assert float(s.x) <= 1.0
+
+
+def test_landing_phase_plans_contract_and_equivalence():
+    """A goal exit with real landing ticks: the host engine emits one
+    (frozen) plan row per landing tick so the chains contract holds, and
+    the scan engine produces the identical episode."""
+    from ramp_tpu.eval.qcar import run_qcar_episode, run_qcar_episode_scan
+
+    p, params, pts = _tiny_dynamic_planner()
+    # goal inside safe_threshold (0.2) of the start: the goal exit fires on
+    # the first tick and the car spends several ticks landing
+    ctx = {"start": np.asarray([-0.8, -0.8, 0.0, 0.0], np.float32),
+           "goal": np.asarray([-0.65, -0.8, 0.0, 0.0], np.float32),
+           "pursuer": np.asarray([0.8, 0.8], np.float32),
+           "box_centers": np.full((1, 2), 5.0, np.float32),
+           "box_sizes": np.full((1, 2), 0.1, np.float32)}
+    apf = np.asarray(pts).reshape(-1, 2)
+    key = jax.random.PRNGKey(3)
+    host = run_qcar_episode(p, params, pts, apf, ctx, n_samples=3,
+                            max_steps=3, finish_ticks=4,
+                            goal_safe_threshold=0.02, key=key)
+    n = host["chains"]["n_steps"]
+    assert n > 1                               # at least one landing tick ran
+    assert host["chains"]["plans"].shape == (n, 12, 4)
+    scan = run_qcar_episode_scan(p, params, pts, apf, ctx, n_samples=3,
+                                 finish_ticks=4, goal_safe_threshold=0.02,
+                                 key=key)
+    assert scan["chains"]["n_steps"] == n
+    np.testing.assert_allclose(scan["chains"]["plans"],
+                               host["chains"]["plans"], atol=1e-6)
+    np.testing.assert_allclose(scan["chains"]["chain_start"],
+                               host["chains"]["chain_start"], atol=1e-6)
