@@ -21,10 +21,15 @@ queued in `scripts/chip_queue.sh`:
                                       96x20 grid confirms 0.8495,
                                       `eval_results_static_tuned.json`)
 
-    dynamic (10-context closed-loop proxy grid, score)
-      parity   w=2.5   0.70
-      quality  w=3.5   0.80    (one fewer capture + one more goal reach;
-                                a PEAK, not a plateau — w=4.5 drops to 0.70)
+    dynamic (closed-loop score)
+      parity   w=2.5   0.646   (100x10 paper grid on chip, CI .560-.732)
+      quality  = parity        (w=3.5 peaked on every SMALL grid — 0.80
+                                CPU proxy, 0.775 chip 20x2 — but at paper
+                                scale scores 0.633 [.547-.719], inside
+                                parity's CI and numerically below it, so
+                                the bump is small-grid noise; quality is
+                                parity until a knob shows a real gain at
+                                1000 episodes)
 
     3d      (12 scenes x 5 contexts x 4 samples, success)
       parity   w=5.75  0.917
@@ -49,7 +54,10 @@ STATIC_PRESETS = {
 
 DYNAMIC_PRESETS = {
     "parity": {},
-    "quality": {"cfg_weight": 3.5},
+    # w=3.5 won every small probe grid but lost the 100x10 paper-scale
+    # A/B (0.633 vs 0.646, eval_results_dynamic_paper{_quality,}.json);
+    # no dynamic knob has a measured paper-scale gain, so quality=parity.
+    "quality": {},
 }
 
 PRESETS_3D = {
