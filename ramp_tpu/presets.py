@@ -5,10 +5,10 @@ w=2 `diffusion_model_static.py:40,164`; dynamic DDIM 10+5 w=2.5
 `diffusion_model_dynamic.py`; 3-D DDPM w=5.75 `inference3d.py`).
 Sweeping the traced guidance knobs on the same trained weights
 (`scripts/static_probe_ab.sh`, `scripts/dynamic_probe_ab.sh`, 3-D grid
-evals) moves quality substantially with zero retraining.  The static
-rows below are REAL-CHIP numbers (2026-08-19 rerun of the full probe
-table, `eval_ab_*.json`); dynamic/3-D are CPU proxies with chip reruns
-queued in `scripts/chip_queue.sh`:
+evals) moves quality substantially with zero retraining.  All rows
+below are REAL-CHIP numbers (2026-08-19 probe tables `eval_ab_*.json`
+/ `eval_dynab_*.json`, paper-scale grids `eval_results_*_paper*.json`,
+3-D grids `eval_results_3d_grid*.json`):
 
     static  (24 scenes x 10 contexts x 20 samples, plain success, chip)
       parity   DDIM-5, w=2   0.721   (the reference configuration, 46ms)
@@ -33,10 +33,10 @@ queued in `scripts/chip_queue.sh`:
 
     3d      (12 scenes x 5 contexts x 4 samples, success)
       parity   w=5.75  0.917
-      quality  w=4     0.933   (w=3 ties on success and edges collision on
-                                the single-model grid, but w=4 wins both
-                                metrics on the harder compose grid:
-                                0.767/3.50% vs 0.750/3.57%)
+      quality  w=4     0.933   (vs 0.917 parity on chip; on the harder
+                                compose grid w=4 ties parity success and
+                                edges collision, 3.52% vs 3.54% — the CPU
+                                proxy's 0.767 compose win did not transfer)
 
 More steps at fixed weight HURT the any-of-N success metric (population
 diversity collapses); a stronger CFG push raises success and diversity
