@@ -37,6 +37,10 @@ below are REAL-CHIP numbers (2026-08-19 probe tables `eval_ab_*.json`
                                 compose grid w=4 ties parity success and
                                 edges collision, 3.52% vs 3.54% — the CPU
                                 proxy's 0.767 compose win did not transfer)
+      fast     DDIM-5  1.000   (the reference's dormant ddim=True path,
+                                parity weight: 0% collision and p50 32.4
+                                vs 39.1 ms — dominates DDPM-25 on every
+                                metric with 5x fewer U-Net calls)
 
 More steps at fixed weight HURT the any-of-N success metric (population
 diversity collapses); a stronger CFG push raises success and diversity
@@ -63,6 +67,11 @@ DYNAMIC_PRESETS = {
 PRESETS_3D = {
     "parity": {},
     "quality": {"cfg_weight": 4.0},
+    # the reference's dormant DDIM path dominates its shipped DDPM-25 on
+    # the 12x5 chip grid: success 1.000 vs 0.917, collision 0.00% vs
+    # 1.04%, p50 32.4 vs 39.1 ms with 5x fewer U-Net calls per plan
+    # (eval_results_3d_grid_ddim.json vs eval_results_3d_grid.json).
+    "fast": {"ddim": True},
 }
 
 
@@ -86,8 +95,14 @@ def resolve_dynamic_preset(preset: Optional[str],
     return cfg_weight if cfg_weight is not None else table.get("cfg_weight")
 
 
-def resolve_3d_preset(preset: Optional[str],
-                      cfg_weight: Optional[float]) -> Optional[float]:
-    """CFG / composition weight for the 3-D planner (explicit flag wins)."""
+def resolve_3d_preset(preset: Optional[str], cfg_weight: Optional[float],
+                      use_ddim: bool = False
+                      ) -> Tuple[bool, Optional[float]]:
+    """(use_ddim, CFG / composition weight) for the 3-D planner.
+
+    Explicit knobs win: a user-passed `--cfg-weight` overrides the preset
+    weight, and `--ddim` forces the DDIM sampler on top of any preset."""
     table = PRESETS_3D[preset or "parity"]
-    return cfg_weight if cfg_weight is not None else table.get("cfg_weight")
+    if cfg_weight is None:
+        cfg_weight = table.get("cfg_weight")
+    return use_ddim or bool(table.get("ddim", False)), cfg_weight

@@ -56,9 +56,10 @@ def main():
     p.add_argument("--cfg-weight", type=float, default=None,
                    help="override the CFG / composition weight (default: "
                         "reference parity w=5.75, compose w1=w2=5)")
-    p.add_argument("--preset", default=None, choices=["parity", "quality"],
+    p.add_argument("--preset", default=None,
+                   choices=["parity", "quality", "fast"],
                    help="measured knob presets (ramp_tpu/presets.py); "
-                        "explicit --cfg-weight wins")
+                        "explicit --cfg-weight/--ddim win")
     p.add_argument("--ddim", action="store_true",
                    help="use the T//5-step DDIM sampler instead of the "
                         "reference-default DDPM ancestral chain (the "
@@ -74,11 +75,12 @@ def main():
     compose = args.compose_dataset is not None
     overrides = {}
     from ramp_tpu.presets import resolve_3d_preset
-    cfg_weight = resolve_3d_preset(args.preset, args.cfg_weight)
+    use_ddim, cfg_weight = resolve_3d_preset(args.preset, args.cfg_weight,
+                                             args.ddim)
     if cfg_weight is not None:
         overrides["cfg_weight"] = cfg_weight
         overrides["compose_weights"] = (cfg_weight, cfg_weight)
-    if args.ddim:
+    if use_ddim:
         overrides["use_ddim"] = True
     cfg = Planner3DConfig(horizon=dataset.horizon, state_dim=dataset.state_dim,
                           unet_input_dim=args.unet_dim,

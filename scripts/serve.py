@@ -43,7 +43,7 @@ def main() -> None:
     p.add_argument("--preset", default=None,
                    choices=["parity", "quality", "fast"],
                    help="measured per-family knob presets "
-                        "(ramp_tpu/presets.py); 'fast' is static-only")
+                        "(ramp_tpu/presets.py); 'fast' is static/3d-only")
     p.add_argument("--cfg-weight", type=float, default=None)
     p.add_argument("--unet-dim", type=int, default=32)
     p.add_argument("--dim-mults-option", type=int, default=1, choices=[0, 1])
@@ -66,8 +66,8 @@ def main() -> None:
     # cfg_weight enters overrides per family below, via resolve_*_preset
     # (explicit flag wins inside the resolver).
     overrides = {}
-    if args.preset == "fast" and args.family != "static":
-        p.error("--preset fast applies to --family static only")
+    if args.preset == "fast" and args.family == "dynamic":
+        p.error("--preset fast applies to the static/3d families only")
     if args.family == "dynamic":
         from ramp_tpu.planners.dynamic import DynamicPlanner, DynamicPlannerConfig
         from ramp_tpu.presets import resolve_dynamic_preset
@@ -89,10 +89,12 @@ def main() -> None:
         from ramp_tpu.presets import resolve_3d_preset
         if args.use_apf or args.ddim_steps is not None:
             p.error("--use-apf/--ddim-steps apply to --family static only")
-        cfg_weight = resolve_3d_preset(args.preset, args.cfg_weight)
+        use_ddim, cfg_weight = resolve_3d_preset(args.preset, args.cfg_weight)
         if cfg_weight is not None:
             overrides["cfg_weight"] = cfg_weight
             overrides["compose_weights"] = (cfg_weight, cfg_weight)
+        if use_ddim:
+            overrides["use_ddim"] = True
         cfg = Planner3DConfig(horizon=dataset.horizon,
                               state_dim=dataset.state_dim,
                               unet_input_dim=args.unet_dim,
