@@ -78,12 +78,21 @@ def compute_path_length_3d(trajs) -> jnp.ndarray:
 
 def compute_collision_intensity_3d(trajs, box_centers, box_sizes,
                                    sphere_centers=None,
-                                   sphere_radii=None) -> jnp.ndarray:
+                                   sphere_radii=None,
+                                   invalid_mask=None) -> jnp.ndarray:
     """[B] fraction of waypoints inside any 3-D box or sphere.
 
     The reference 3-D harness only renders plans (`inference3d.py:158-381`,
     no metrics); this extends the 2-D box-overlap definition (ref :48-82) to
     the 3-D scene's boxes + spheres so 3-D quality is measurable.
+
+    `invalid_mask` ([B, H] bool) marks waypoints that are invalid for a
+    non-geometric reason — the harness passes waypoints that left the
+    normalized workspace before the normalizer's clip-on-unnormalize
+    saturated them to the boundary. Without it, a diverged sampler whose
+    output clips to the (obstacle-free) workspace boundary scores a perfect
+    collision intensity (this is exactly how the reference's broken dormant
+    3-D DDIM path gamed the metric; see ddim_sample_chain_3d).
     """
     trajs = jnp.asarray(trajs)
     pos = trajs[:, :, None, :3]
@@ -99,6 +108,8 @@ def compute_collision_intensity_3d(trajs, box_centers, box_sizes,
         sr = jnp.asarray(sphere_radii, jnp.float32).reshape(-1)[None, None]
         d = jnp.linalg.norm(pos - sc, axis=-1)
         inside = inside | (d <= sr).any(axis=-1)
+    if invalid_mask is not None:
+        inside = inside | jnp.asarray(invalid_mask, bool)
     return inside.astype(jnp.float32).mean(axis=1)
 
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,13 +41,19 @@ class Planner3DConfig:
     compose_weights: Tuple[float, float] = (5.0, 5.0)  # ref :169-170
     n_diffusion_steps_without_noise: int = 0
     use_ddim: bool = False                 # ref :296-300 (ddim=False default)
+    ddim_clip_x0: bool = True              # repair of the ref's dormant DDIM
+                                           # (see ddim_sample_chain_3d); False
+                                           # = the broken reference behavior
     resample_steps: int = 1                # ref :199-210 (ships disabled)
+    ddim_steps_override: Optional[int] = None  # None = reference T // 5
     dtype: str = "bfloat16"
     attn_impl: str = "default"             # self-attn lowering: default or bnhd
 
     @property
     def ddim_steps(self) -> int:
         # ref diffusion_model_3d.py:234: sampling_timesteps = T // 5
+        if self.ddim_steps_override is not None:
+            return self.ddim_steps_override
         return max(1, self.n_diffusion_steps // 5)
 
 
@@ -95,13 +101,16 @@ class Planner3D:
         shape = (n_samples, cfg.horizon, cfg.state_dim)
         if cfg.use_ddim:
             # the 3-D model's own DDIM variant (ref :220-287): truncated-
-            # linspace grid incl. t=T-1, UNCLIPPED x0, raw-eps direction,
-            # final pair returns x0 — distinct from the static clipped-
-            # recompute DDIM
+            # linspace grid incl. t=T-1, final pair returns x0. By default
+            # x0-hat is clipped and the direction recomputed from it — a
+            # repair of the reference's dormant (and numerically broken)
+            # unclipped path; see ddim_sample_chain_3d's docstring.
             return ddim_sample_chain_3d(
                 self.schedule, self._eps_fn, params["unet"], key, shape,
                 endpoints, fold,
                 predict_epsilon=cfg.predict_epsilon,
+                clip_x0=cfg.ddim_clip_x0,
+                n_ddim=cfg.ddim_steps,
                 return_chain=return_chain)
         return ddpm_sample_chain(
             self.schedule, self._eps_fn, params["unet"], key, shape,

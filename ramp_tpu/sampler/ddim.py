@@ -85,14 +85,18 @@ def ddim_sample_chain(sch: DiffusionSchedule,
     return x, chain
 
 
-def ddim_times_3d(n_steps: int) -> "jnp.ndarray":
+def ddim_times_3d(n_steps: int, n_ddim: int = None) -> "jnp.ndarray":
     """The 3-D model's DDIM grid (ref diffusion_model_3d.py:236-241):
-    linspace(0, T-1, T//5 + 1) truncated to int, a -1 sentinel appended,
-    reversed, consumed as (t, t_next) pairs. For T=25:
-    pairs (24,19) (19,14) (14,9) (9,4) (4,0) (0,-1) — note the non-uniform
-    first gap from the int truncation."""
+    linspace(0, T-1, n_ddim + 1) truncated to int, a -1 sentinel appended,
+    reversed, consumed as (t, t_next) pairs. The reference hardcodes
+    n_ddim = T // 5 (ref :234); for T=25 that gives pairs
+    (24,19) (19,14) (14,9) (9,4) (4,0) (0,-1) — note the non-uniform
+    first gap from the int truncation. `n_ddim` generalizes the divisor
+    so the step count is a tunable knob (`--ddim-steps`)."""
     import numpy as np
-    times = np.linspace(0, n_steps - 1, n_steps // 5 + 1).astype(int)
+    if n_ddim is None:
+        n_ddim = n_steps // 5
+    times = np.linspace(0, n_steps - 1, n_ddim + 1).astype(int)
     times = np.concatenate([[-1], times])[::-1]
     return jnp.asarray(times.copy(), jnp.int32)
 
@@ -106,18 +110,31 @@ def ddim_sample_chain_3d(sch: DiffusionSchedule,
                          fold: GuidanceFold,
                          *,
                          predict_epsilon: bool = True,
+                         clip_x0: bool = True,
+                         n_ddim: int = None,
                          return_chain: bool = True):
-    """The 3-D model's DDIM variant, ported exactly
+    """The 3-D model's DDIM variant
     (ref diffusion_model_3d.py:220-287, eta=0, predict_epsilon=True shipped):
 
-      * x0-hat is NOT clipped (the static DDIM clips and recomputes the
-        direction from the clipped x0; this one uses the raw model epsilon)
       * per-pair update x = sqrt(a_next)*x0 + sqrt(1-a_next)*eps with a_next
         taken at the exact t_next of the non-uniform grid (`ddim_times_3d`)
       * the final (0, -1) pair returns x0 itself (hard-conditioned)
+
+    `clip_x0` (default True) is a deliberate repair of the reference's
+    dormant path, which neither clips x0-hat nor recomputes the direction
+    from it: under the exponential schedule alpha_bar(T-1) = 5.7e-11, so the
+    first `predict_start_from_noise` multiplies model error by 1/sqrt(ab) ~
+    1.3e5 and the chain saturates — every waypoint lands on the scene
+    boundary after the normalizer's clip, which *games* collision metrics
+    (obstacles are interior) while producing noise paths (path length ~120
+    vs ~1.4, `eval_results_3d_grid_ddim.json` pre-fix). With clip_x0 the
+    direction is recomputed from the clipped x0 exactly like the static
+    chain's `use_clipped_model_output=True` recipe
+    (`diffusion_model_static.py:321-332`). `clip_x0=False` reproduces the
+    reference's (broken) dormant behavior for comparison.
     """
     b, h, d = shape
-    times = ddim_times_3d(sch.n_steps)
+    times = ddim_times_3d(sch.n_steps, n_ddim)
     t_pairs = jnp.stack([times[:-1], times[1:]], axis=-1)  # [(T-1,..), next]
 
     x = jax.random.normal(key, shape, jnp.float32)
@@ -130,7 +147,12 @@ def ddim_sample_chain_3d(sch: DiffusionSchedule,
         t = jnp.full((b,), t_scalar, jnp.int32)
         e = guided_eps(eps_fn, params, x, t, fold)
         x_start = dfn.predict_start_from_noise(sch, x, t, e, predict_epsilon)
-        if predict_epsilon:
+        if clip_x0:
+            x_start = jnp.clip(x_start, -1.0, 1.0)
+            # direction recomputed from the clipped x0 (static-chain recipe)
+            pred_noise = dfn.predict_noise_from_start(
+                sch, x, t, x_start, predict_epsilon=False)
+        elif predict_epsilon:
             pred_noise = e  # predict_noise_from_start returns model_out (:92)
         else:
             pred_noise = ((dfn.extract(sch.sqrt_recip_alphas_cumprod, t, x.ndim) * x

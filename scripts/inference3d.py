@@ -65,6 +65,9 @@ def main():
                         "reference-default DDPM ancestral chain (the "
                         "reference's dormant ddim=True path, "
                         "diffusion_model_3d.py:220-257,296-300)")
+    p.add_argument("--ddim-steps", type=int, default=None,
+                   help="DDIM step count (implies --ddim; default: the "
+                        "reference's T//5)")
     args = p.parse_args()
 
     from ramp_tpu.utils.platform import enable_compilation_cache, set_platform
@@ -75,13 +78,16 @@ def main():
     compose = args.compose_dataset is not None
     overrides = {}
     from ramp_tpu.presets import resolve_3d_preset
-    use_ddim, cfg_weight = resolve_3d_preset(args.preset, args.cfg_weight,
-                                             args.ddim)
+    use_ddim, cfg_weight = resolve_3d_preset(
+        args.preset, args.cfg_weight,
+        args.ddim or args.ddim_steps is not None)
     if cfg_weight is not None:
         overrides["cfg_weight"] = cfg_weight
         overrides["compose_weights"] = (cfg_weight, cfg_weight)
     if use_ddim:
         overrides["use_ddim"] = True
+    if args.ddim_steps is not None:
+        overrides["ddim_steps_override"] = args.ddim_steps
     cfg = Planner3DConfig(horizon=dataset.horizon, state_dim=dataset.state_dim,
                           unet_input_dim=args.unet_dim,
                           unet_dim_mults_option=args.dim_mults_option,
@@ -165,8 +171,12 @@ def main():
                 jax.block_until_ready(x)
 
             trajs = np.asarray(dataset.normalizer.unnormalize(x))
+            # waypoints that left the normalized workspace are invalid even
+            # though clip-on-unnormalize saturates them to the boundary
+            # (1.05: posterior steps can graze past 1.0; divergence is >>1.1)
+            oob = (np.abs(np.asarray(x)[:, :, :3]) > 1.05).any(axis=-1)
             ci = np.asarray(compute_collision_intensity_3d(
-                trajs, box_c, box_s, sph_c, sph_r))
+                trajs, box_c, box_s, sph_c, sph_r, invalid_mask=oob))
             free = ci <= 0.01
             pl = (np.asarray(compute_path_length_3d(trajs[free]))
                   if free.any() else None)

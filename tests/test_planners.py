@@ -99,8 +99,9 @@ def test_planner3d_shapes_and_pinning():
 def test_planner3d_ddim_and_resampling():
     """Optional 3-D paths: the model's own DDIM variant (ref
     diffusion_model_3d.py:220-287 — truncated-linspace grid with -1 sentinel,
-    unclipped x0, final pair returns x0) and the resampling loop (ref
-    :199-210, re-noise between repeats)."""
+    final pair returns x0; x0 clipped by default as a repair of the ref's
+    broken dormant path) and the resampling loop (ref :199-210, re-noise
+    between repeats)."""
     base = dict(horizon=16, n_diffusion_steps=10, unet_input_dim=8,
                 unet_dim_mults_option=0, dtype="float32")
     pts = jax.random.uniform(jax.random.PRNGKey(1), (5, 16, 3),

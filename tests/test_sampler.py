@@ -143,3 +143,47 @@ def test_ddim_jit_once_for_different_scenes(tiny_model):
     x2 = plan(jnp.ones((1, 12)), k)
     assert plan._cache_size() == 1
     assert not np.allclose(np.asarray(x1), np.asarray(x2))
+
+
+def test_ddim_times_3d_step_count_knob():
+    """ddim_times_3d generalizes the reference's hardcoded T//5 divisor
+    (diffusion_model_3d.py:234) into a step-count knob: default keeps the
+    reference grid; n_ddim=k gives k (t, t_next) pairs plus the final
+    (0, -1) sentinel pair."""
+    from ramp_tpu.sampler.ddim import ddim_times_3d
+
+    ref = np.asarray(ddim_times_3d(25))
+    assert ref.tolist() == [24, 19, 14, 9, 4, 0, -1]
+    assert np.array_equal(np.asarray(ddim_times_3d(25, 5)), ref)
+    t12 = np.asarray(ddim_times_3d(25, 12))
+    assert t12[0] == 24 and t12[-2] == 0 and t12[-1] == -1
+    assert len(t12) == 14  # 12 denoise pairs + the (0, -1) x0 pair
+    assert np.all(np.diff(t12) < 0)
+
+
+def test_ddim_3d_clip_x0_repairs_divergence(tiny_model):
+    """The reference's dormant 3-D DDIM (diffusion_model_3d.py:220-287)
+    neither clips x0-hat nor recomputes the direction from it; under the
+    exponential schedule alpha_bar(T-1) ~ 5.7e-11 the first
+    predict_start_from_noise amplifies model error by ~1.3e5 and the chain
+    diverges to workspace-boundary noise (which games collision metrics).
+    clip_x0=True (our default) must keep the chain inside [-1, 1];
+    clip_x0=False must reproduce the divergence."""
+    from ramp_tpu.sampler.ddim import ddim_sample_chain_3d
+
+    _, params, eps_fn = tiny_model
+    sch = make_schedule("exponential", 25)
+    fold = cfg_fold(jnp.zeros((1, 12)), 5.75)
+    ep = _endpoints()
+
+    x_fixed, _ = ddim_sample_chain_3d(sch, eps_fn, params,
+                                      jax.random.PRNGKey(0), (B, H, D), ep,
+                                      fold, clip_x0=True)
+    assert np.all(np.isfinite(np.asarray(x_fixed)))
+    assert np.abs(np.asarray(x_fixed)).max() <= 1.0 + 1e-5
+
+    x_ref, _ = ddim_sample_chain_3d(sch, eps_fn, params,
+                                    jax.random.PRNGKey(0), (B, H, D), ep,
+                                    fold, clip_x0=False)
+    interior = np.asarray(x_ref)[:, 1:-1]  # endpoints stay pinned
+    assert np.abs(interior).max() > 10.0
