@@ -6,20 +6,26 @@ w=2 `diffusion_model_static.py:40,164`; dynamic DDIM 10+5 w=2.5
 Sweeping the traced guidance knobs on the same trained weights
 (`scripts/static_probe_ab.sh`, `scripts/dynamic_probe_ab.sh`, 3-D grid
 evals) moves quality substantially with zero retraining.  All rows
-below are REAL-CHIP numbers (2026-08-19 probe tables `eval_ab_*.json`
-/ `eval_dynab_*.json`, paper-scale grids `eval_results_*_paper*.json`,
-3-D grids `eval_results_3d_grid*.json`):
+below are REAL-CHIP numbers; preset-deciding rows are full paper-scale
+grids (small probe grids repeatedly misled — see the dynamic w=3.5 and
+3-D DDIM-5 post-mortems in RESULTS.md):
 
-    static  (24 scenes x 10 contexts x 20 samples, plain success, chip)
-      parity   DDIM-5, w=2   0.721   (the reference configuration, 46ms)
-      quality  DDIM-5, w=5   0.842   (reference-tight paths: collision
-                                      10.4 / path 1.74 vs parity 10.6 /
-                                      1.61; plateau — w=6 equal, 39ms)
-      fast     DDIM-3, w=5   0.858   (highest success AND lowest p50,
-                                      34ms, but population is looser:
-                                      collision 13.98, path 2.62; full
-                                      96x20 grid confirms 0.8495,
-                                      `eval_results_static_tuned.json`)
+    static  (full 96 scenes x 20 contexts x 20 samples, plain success)
+      parity   DDIM-5, w=2   0.742   (the reference configuration,
+                                      `eval_results_static.json`)
+      quality  DDIM-4, w=5   0.871   (best measured full-grid success;
+                                      collision 11.3 / path 1.81 — near
+                                      parity-tight — at p50 38.4 ms,
+                                      `eval_results_static_d4w5.json`.
+                                      Demotes DDIM-5/w=5, whose 24x10
+                                      probe scored 0.842 at the same
+                                      latency.)
+      fast     DDIM-3, w=5   0.8495  (lowest p50 — 34 ms probe / 37.7 ms
+                                      full grid — but a looser
+                                      population: collision 13.98, path
+                                      2.62, `eval_results_static_tuned
+                                      .json`.  Prefer quality unless the
+                                      last ~2 ms matter.)
 
     dynamic (closed-loop score)
       parity   w=2.5   0.646   (100x10 paper grid on chip, CI .560-.732)
@@ -32,15 +38,29 @@ below are REAL-CHIP numbers (2026-08-19 probe tables `eval_ab_*.json`
                                 1000 episodes)
 
     3d      (12 scenes x 5 contexts x 4 samples, success)
-      parity   w=5.75  0.917
-      quality  w=4     0.933   (vs 0.917 parity on chip; on the harder
-                                compose grid w=4 ties parity success and
-                                edges collision, 3.52% vs 3.54% — the CPU
-                                proxy's 0.767 compose win did not transfer)
-      fast     DDIM-5  1.000   (the reference's dormant ddim=True path,
-                                parity weight: 0% collision and p50 32.4
-                                vs 39.1 ms — dominates DDPM-25 on every
-                                metric with 5x fewer U-Net calls)
+      parity   DDPM-25, w=5.75  0.917 / 1.04% coll / path 1.44 / 39.1ms
+      quality  DDPM-25, w=4     0.933 / 1.02% (vs 0.917 parity on chip;
+                                on the harder compose grid w=4 ties
+                                parity success and edges collision)
+      fast     DDIM-8           0.950 / 1.51% / path 1.59 / 35.7ms
+                                (`eval_results_3d_grid_ddim8.json`) —
+                                higher success than parity at -9%
+                                latency with 3x fewer U-Net calls.
+                                NON-COMPOSE ONLY: under composition DDIM
+                                collapses to 0.55 success / 5.9% coll
+                                (`eval_results_3d_grid_compose_ddim
+                                .json`), so the preset falls back to the
+                                DDPM chain when compose=True.
+
+    History: the original 3-D fast pick (DDIM-5 "1.000 success / 0.00%
+    collision") was a metric-gaming artifact of an unclipped x0-hat
+    under the exponential schedule — trajectories saturated at the
+    domain boundary where there are no interior obstacles.  Commit
+    c337d01 fixed the chain (clip x0-hat, invalidate boundary-saturated
+    waypoints); honest post-fix numbers are DDIM-5 0.95 / 2.14% / path
+    9.34, DDIM-8 0.95 / 1.51% / 1.59, DDIM-12 0.917 / 1.40% / 1.47 —
+    DDIM-8 is the only bracket point beating parity on success with a
+    sane path length.
 
 More steps at fixed weight HURT the any-of-N success metric (population
 diversity collapses); a stronger CFG push raises success and diversity
@@ -52,7 +72,9 @@ from typing import Optional, Tuple
 
 STATIC_PRESETS = {
     "parity": {},
-    "quality": {"cfg_weight": 5.0},
+    # full-grid 0.871 (eval_results_static_d4w5.json) vs the previous
+    # quality pick DDIM-5/w=5 (0.842 on the 24x10 probe, same latency).
+    "quality": {"ddim_steps": 4, "cfg_weight": 5.0},
     "fast": {"ddim_steps": 3, "cfg_weight": 5.0},
 }
 
@@ -67,11 +89,12 @@ DYNAMIC_PRESETS = {
 PRESETS_3D = {
     "parity": {},
     "quality": {"cfg_weight": 4.0},
-    # the reference's dormant DDIM path dominates its shipped DDPM-25 on
-    # the 12x5 chip grid: success 1.000 vs 0.917, collision 0.00% vs
-    # 1.04%, p50 32.4 vs 39.1 ms with 5x fewer U-Net calls per plan
-    # (eval_results_3d_grid_ddim.json vs eval_results_3d_grid.json).
-    "fast": {"ddim": True},
+    # DDIM-8 at parity weight: success 0.950 vs 0.917, -9% latency, 3x
+    # fewer U-Net calls (eval_results_3d_grid_ddim8.json vs
+    # eval_results_3d_grid.json).  Compose is excluded: DDIM composition
+    # scored 0.55 (eval_results_3d_grid_compose_ddim.json), so
+    # resolve_3d_preset drops the sampler swap when compose=True.
+    "fast": {"ddim": True, "ddim_steps": 8},
 }
 
 
@@ -96,13 +119,19 @@ def resolve_dynamic_preset(preset: Optional[str],
 
 
 def resolve_3d_preset(preset: Optional[str], cfg_weight: Optional[float],
-                      use_ddim: bool = False
-                      ) -> Tuple[bool, Optional[float]]:
-    """(use_ddim, CFG / composition weight) for the 3-D planner.
+                      use_ddim: bool = False, compose: bool = False
+                      ) -> Tuple[bool, Optional[int], Optional[float]]:
+    """(use_ddim, ddim_steps, CFG / composition weight) for the 3-D planner.
 
     Explicit knobs win: a user-passed `--cfg-weight` overrides the preset
-    weight, and `--ddim` forces the DDIM sampler on top of any preset."""
+    weight, and `--ddim` forces the DDIM sampler on top of any preset.
+    A preset-driven DDIM (the `fast` preset) is dropped under composition
+    — measured 0.55 success vs 0.75 for the DDPM chain
+    (`eval_results_3d_grid_compose_ddim.json`) — but an explicit `--ddim`
+    is honored even there (the user asked for it)."""
     table = PRESETS_3D[preset or "parity"]
     if cfg_weight is None:
         cfg_weight = table.get("cfg_weight")
-    return use_ddim or bool(table.get("ddim", False)), cfg_weight
+    preset_ddim = bool(table.get("ddim", False)) and not compose
+    ddim_steps = table.get("ddim_steps") if preset_ddim else None
+    return use_ddim or preset_ddim, ddim_steps, cfg_weight

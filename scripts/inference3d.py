@@ -78,9 +78,9 @@ def main():
     compose = args.compose_dataset is not None
     overrides = {}
     from ramp_tpu.presets import resolve_3d_preset
-    use_ddim, cfg_weight = resolve_3d_preset(
+    use_ddim, preset_ddim_steps, cfg_weight = resolve_3d_preset(
         args.preset, args.cfg_weight,
-        args.ddim or args.ddim_steps is not None)
+        args.ddim or args.ddim_steps is not None, compose=compose)
     if cfg_weight is not None:
         overrides["cfg_weight"] = cfg_weight
         overrides["compose_weights"] = (cfg_weight, cfg_weight)
@@ -88,6 +88,8 @@ def main():
         overrides["use_ddim"] = True
     if args.ddim_steps is not None:
         overrides["ddim_steps_override"] = args.ddim_steps
+    elif preset_ddim_steps is not None:
+        overrides["ddim_steps_override"] = preset_ddim_steps
     cfg = Planner3DConfig(horizon=dataset.horizon, state_dim=dataset.state_dim,
                           unet_input_dim=args.unet_dim,
                           unet_dim_mults_option=args.dim_mults_option,

@@ -89,12 +89,15 @@ def main() -> None:
         from ramp_tpu.presets import resolve_3d_preset
         if args.use_apf or args.ddim_steps is not None:
             p.error("--use-apf/--ddim-steps apply to --family static only")
-        use_ddim, cfg_weight = resolve_3d_preset(args.preset, args.cfg_weight)
+        use_ddim, preset_ddim_steps, cfg_weight = resolve_3d_preset(
+            args.preset, args.cfg_weight, compose=args.compose)
         if cfg_weight is not None:
             overrides["cfg_weight"] = cfg_weight
             overrides["compose_weights"] = (cfg_weight, cfg_weight)
         if use_ddim:
             overrides["use_ddim"] = True
+        if preset_ddim_steps is not None:
+            overrides["ddim_steps_override"] = preset_ddim_steps
         cfg = Planner3DConfig(horizon=dataset.horizon,
                               state_dim=dataset.state_dim,
                               unet_input_dim=args.unet_dim,

@@ -38,7 +38,8 @@ def test_top_level_lazy_exports():
     assert "StaticPlanner" in dir(ramp_tpu)
     planner_cls = ramp_tpu.StaticPlanner
     assert planner_cls.__name__ == "StaticPlanner"
-    assert ramp_tpu.STATIC_PRESETS["quality"] == {"cfg_weight": 5.0}
+    assert ramp_tpu.STATIC_PRESETS["quality"] == {"ddim_steps": 4,
+                                                  "cfg_weight": 5.0}
     try:
         ramp_tpu.NotAThing
         raise AssertionError("expected AttributeError")

@@ -11,7 +11,9 @@ def test_parity_is_empty():
 
 
 def test_presets_resolve():
-    assert resolve_static_preset("quality", None, None) == (None, 5.0)
+    # quality = DDIM-4/w=5, the best measured full-grid success (0.871,
+    # eval_results_static_d4w5.json)
+    assert resolve_static_preset("quality", None, None) == (4, 5.0)
     assert resolve_static_preset("fast", None, None) == (3, 5.0)
 
 
@@ -31,11 +33,24 @@ def test_dynamic_presets():
 
 def test_3d_presets():
     assert PRESETS_3D["parity"] == {}
-    assert resolve_3d_preset(None, None) == (False, None)
-    assert resolve_3d_preset("quality", None) == (False, 4.0)
-    assert resolve_3d_preset("quality", 5.75) == (False, 5.75)
-    # fast = the measured DDIM-5 sampler at parity weight
-    assert resolve_3d_preset("fast", None) == (True, None)
-    assert resolve_3d_preset("fast", 4.0) == (True, 4.0)
+    assert resolve_3d_preset(None, None) == (False, None, None)
+    assert resolve_3d_preset("quality", None) == (False, None, 4.0)
+    assert resolve_3d_preset("quality", 5.75) == (False, None, 5.75)
+    # fast = DDIM-8 at parity weight (the post-fix bracket winner,
+    # eval_results_3d_grid_ddim8.json: 0.95 / 1.51% / -9% latency)
+    assert resolve_3d_preset("fast", None) == (True, 8, None)
+    assert resolve_3d_preset("fast", 4.0) == (True, 8, 4.0)
     # an explicit --ddim flag forces the sampler on top of any preset
-    assert resolve_3d_preset("parity", None, use_ddim=True) == (True, None)
+    assert resolve_3d_preset("parity", None, use_ddim=True) == (True, None,
+                                                                None)
+
+
+def test_3d_fast_preset_falls_back_to_ddpm_under_compose():
+    # DDIM composition measured 0.55 success vs 0.75 for DDPM
+    # (eval_results_3d_grid_compose_ddim.json) — the preset must not
+    # silently apply the sampler swap to compose runs
+    assert resolve_3d_preset("fast", None, compose=True) == (False, None,
+                                                             None)
+    # but an explicit user --ddim is still honored under compose
+    assert resolve_3d_preset("fast", None, use_ddim=True,
+                             compose=True) == (True, None, None)
