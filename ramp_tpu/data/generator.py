@@ -280,6 +280,129 @@ def generate_dataset(out_dir: str, env_id: str = "EnvSimple2dquant",
     return out_dir
 
 
+# ------------------------------------------ pursuer-aware predator variant
+
+def _sample_pursuer_position(box_centers, box_sizes, rng: np.random.Generator,
+                             inflate: float, central_bias: float = 0.6,
+                             limit: float = 0.85) -> Optional[np.ndarray]:
+    """A free-space pursuer position, biased toward the scene center.
+
+    Central positions intersect more start->goal routes, so more of the
+    demonstrations actually have to detour around the pursuer — that
+    detour is the training signal for pursuer conditioning."""
+    for _ in range(300):
+        if rng.uniform() < central_bias:
+            p = rng.normal(scale=0.35, size=2)
+            if np.abs(p).max() > limit:
+                continue
+        else:
+            p = rng.uniform(-limit, limit, size=2)
+        half = np.asarray(box_sizes) / 2 + inflate
+        if np.all(np.abs(p - np.asarray(box_centers)) <= half,
+                  axis=-1).any():
+            continue
+        return p.astype(np.float32)
+    return None
+
+
+def generate_dataset_predator(out_dir: str, n_tasks: int = 384,
+                              n_trajs_per_task: int = 16, horizon: int = 48,
+                              points_per_obstacle: int = 64, seed: int = 0,
+                              n_boxes: int = 4, pursuer_radius: float = 0.1,
+                              pursuer_margin: float = 0.15,
+                              env_id: str = "EnvPredator") -> str:
+    """Pursuer-aware EnvPredator dataset (static MPD layout + 1 extra row).
+
+    The round-1 dynamic model was trained on A*-planned paths around the
+    static boxes only — it never saw a pursuer, so every evasive behavior
+    had to come from the closed-loop APF. Here each task is (boxes +
+    one pursuer position); the demonstrations are planned around the boxes
+    AND a pursuer disc inflated by `pursuer_margin` (the margin stands in
+    for the pursuer's future motion), and the obstacle cloud gets one
+    extra row: the pursuer sphere cloud (`generate_sphere_points_np`, the
+    same golden-angle distribution the jitted replanner regenerates at the
+    live pursuer position each control step). Training on [n_boxes+1]-row
+    clouds teaches the score model to route around the last row — at
+    inference that row tracks the real pursuer (DynamicPlannerConfig
+    .pursuer_conditioned).
+
+    `n_boxes=8` + env_id="EnvPredatorObstacles" produces the obstacle-rich
+    pursuit variant (ref deps/.../EnvPredatorExtra.py:13).
+    """
+    from ramp_tpu.scenes.pointclouds import generate_sphere_points_np
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    inflate = pursuer_radius + pursuer_margin
+    box_range = (0.2, 0.35) if n_boxes <= 4 else (0.15, 0.3)
+    from ramp_tpu.scenes.envs import _sample_boxes
+    for task_id in range(n_tasks):
+        task_dir = os.path.join(out_dir, str(task_id))
+        os.makedirs(task_dir, exist_ok=True)
+        while True:
+            centers, sizes = _sample_boxes(rng, n_boxes, box_range)
+            pursuer = _sample_pursuer_position(centers, sizes, rng, inflate)
+            if pursuer is not None:
+                break
+        # plan around boxes + the inflated pursuer treated as a square box
+        centers_aug = np.concatenate([centers, pursuer[None]], axis=0)
+        sizes_aug = np.concatenate(
+            [sizes, np.full((1, 2), 2 * inflate, np.float32)], axis=0)
+        trajs = []
+        attempts = 0
+        while len(trajs) < n_trajs_per_task and \
+                attempts < n_trajs_per_task * 10:
+            attempts += 1
+            try:
+                start = sample_free_point(centers_aug, sizes_aug, rng)
+                goal = sample_free_point(centers_aug, sizes_aug, rng)
+            except RuntimeError:
+                break
+            if np.linalg.norm(goal - start) < 0.7:
+                continue
+            if rng.uniform() < 0.5:
+                traj = plan_trajectory_via(centers_aug, sizes_aug, start,
+                                           goal, horizon, rng)
+                if traj is None:
+                    traj = plan_trajectory(centers_aug, sizes_aug, start,
+                                           goal, horizon, rng)
+            else:
+                traj = plan_trajectory(centers_aug, sizes_aug, start, goal,
+                                       horizon, rng)
+            if traj is not None:
+                trajs.append(traj)
+        if not trajs:
+            raise RuntimeError(f"predator scene {task_id} unplannable")
+        n_planned = len(trajs)
+        while len(trajs) < n_trajs_per_task:
+            trajs.append(trajs[len(trajs) % n_planned])
+        trajs = np.stack(trajs[:n_trajs_per_task])
+
+        box_points = scene_obstacle_points_np(centers, sizes,
+                                              points_per_obstacle, rng=rng)
+        pursuer_points = generate_sphere_points_np(
+            pursuer, pursuer_radius, points_per_obstacle, rng=rng)
+        points = np.concatenate(
+            [box_points, pursuer_points[None].astype(np.float32)], axis=0)
+        np.save(os.path.join(task_dir, "trajs-free.npy"), trajs)
+        np.save(os.path.join(task_dir, "obstacle_points.npy"),
+                points.astype(np.float32))
+        np.save(os.path.join(task_dir, "box_centers.npy"), centers)
+        metadata = {
+            "env_id": env_id,
+            "robot_id": "RobotPointMass",
+            "box_sizes": np.asarray(sizes).tolist(),
+            "box_centers": np.asarray(centers).tolist(),
+            "pursuer_center": pursuer.tolist(),
+            "pursuer_radius": float(pursuer_radius),
+            "horizon": horizon,
+            "n_trajectories": int(trajs.shape[0]),
+        }
+        with open(os.path.join(task_dir, "metadata.yaml"), "w") as f:
+            yaml.safe_dump(metadata, f)
+    return out_dir
+
+
 # ------------------------------------------------------------- 3-D variant
 
 def _occupancy_grid_3d(box_centers, box_sizes, sphere_centers, sphere_radii,

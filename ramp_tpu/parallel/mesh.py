@@ -103,3 +103,23 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)
+
+
+def coordination_barrier(name: str, timeout_s: int = 600) -> None:
+    """Align all processes via the coordination service (pure gRPC).
+
+    The first cross-process COLLECTIVE creates the CPU Gloo context under a
+    fixed ~30 s key-value deadline; on a loaded single-core host two
+    processes can easily be >30 s apart in imports/compilation, which turns
+    that first collective into `Gloo context initialization failed:
+    DEADLINE_EXCEEDED`. A coordination-service barrier has a long
+    configurable timeout and no Gloo dependency, so calling it immediately
+    before the first sharded `device_put` bounds the skew the Gloo deadline
+    has to absorb to microseconds. No-op in single-process runs.
+    """
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed  # no public barrier API yet
+    client = distributed.global_state.client
+    if client is not None:
+        client.wait_at_barrier(name, timeout_in_ms=timeout_s * 1000)

@@ -84,6 +84,14 @@ class DynamicPlannerConfig:
     apf_window_static: int = 8
     apf_window_pred: int = 5
     pursuer_cost_gate: float = 0.4           # ref :529 distance_threshold_pred
+    # Beyond-parity: condition the score model on the pursuer. The live
+    # pursuer sphere cloud is appended as one extra obstacle row to the
+    # encoder input each control step (STAGE I uses the initial pursuer
+    # position), so the model itself routes around the pursuer instead of
+    # leaving all evasion to the closed-loop APF. Requires weights trained
+    # on [O+1]-row clouds (`generate_dataset_predator`); the reference has
+    # no equivalent (its U-Net sees static boxes only).
+    pursuer_conditioned: bool = False
     pursuit: PursuitParams = PursuitParams()
     smoothing_dt: float = 0.1                # ref sm() :192
     smoothing_max_vel: float = 0.8
@@ -203,6 +211,22 @@ class DynamicPlanner:
 
     def _guide_w(self):
         return guide_weights(self.config)
+
+    def _cond_fold(self, params, obstacle_pts, guide_w, pursuer_pts):
+        """CFG fold of the conditioning cloud. With pursuer_conditioned the
+        pursuer cloud rides along as one extra obstacle row — the same
+        [O+1]-row layout the training data carries. The APF pursuer cloud
+        has `points_per_obstacle` (ref constant 64) points; the conditioning
+        row must match the dataset's per-obstacle count, so wrap-index to
+        the scene's P (golden-angle points stay uniform under a prefix)."""
+        pts = obstacle_pts
+        if self.config.pursuer_conditioned:
+            n_pts = obstacle_pts.shape[1]
+            row = jnp.take(pursuer_pts,
+                           jnp.arange(n_pts) % pursuer_pts.shape[0], axis=0)
+            pts = jnp.concatenate([obstacle_pts, row[None]], axis=0)
+        latents = self.encoder.apply(params["encoder"], pts[None])
+        return cfg_fold(latents[0], guide_w)
 
     # ------------------------------------------------------------- internals
     def _ddim_step(self, params, fold, x, t_scalar, endpoints):
@@ -395,8 +419,15 @@ class DynamicPlanner:
         the final inner step."""
         cfg = self.config
         h, d = cfg.horizon, cfg.state_dim
-        latents = self.encoder.apply(params["encoder"], obstacle_pts[None])
-        fold = cfg_fold(latents[0], guide_w)
+        if cfg.pursuer_conditioned:
+            key, k_p0 = jax.random.split(key)
+            p_pts0 = generate_sphere_points(
+                k_p0, pursuer_init, jnp.asarray(cfg.pursuer_radius),
+                cfg.points_per_obstacle)
+            fold = self._cond_fold(params, obstacle_pts, guide_w, p_pts0)
+        else:
+            latents = self.encoder.apply(params["encoder"], obstacle_pts[None])
+            fold = cfg_fold(latents[0], guide_w)
         endpoints = dfn.Endpoints(start=start, goal=goal)
         goal_state = goal
         obstacle_pts_flat = obstacle_pts.reshape(-1, 2)
@@ -451,6 +482,9 @@ class DynamicPlanner:
             pursuer_pts = generate_sphere_points(
                 k_pts, pursuer, jnp.asarray(cfg.pursuer_radius),
                 cfg.points_per_obstacle)
+            fold_t = (self._cond_fold(params, obstacle_pts, guide_w,
+                                      pursuer_pts)
+                      if cfg.pursuer_conditioned else fold)
 
             # re-noise the selected plan to replan_step (ref :283-285)
             x = jnp.broadcast_to(carry.x_best[None], (n_samples, h, d))
@@ -466,11 +500,11 @@ class DynamicPlanner:
                 if j == 0:
                     x = _smooth_segment(x, stepp, cfg.ddpm_smooth_window_inner,
                                         cfg.smoothing_dt, cfg.smoothing_max_vel)
-                    x = self._ddpm_step(params, fold, x, j, k_n, endpoints,
+                    x = self._ddpm_step(params, fold_t, x, j, k_n, endpoints,
                                         apf_args=(static_apf_pts, pursuer_pts,
                                                   pursuer, goal_state))
                 else:
-                    x = self._ddpm_step(params, fold, x, j, k_n, endpoints)
+                    x = self._ddpm_step(params, fold_t, x, j, k_n, endpoints)
                 x = self._clamp_history(x, carry.history, carry.h_count)
                 x = x.at[:, -1].set(goal_state)
                 x = x.at[:, 0, 2:].set(0.0)
@@ -569,8 +603,15 @@ class DynamicPlanner:
              pursuer_init, guide_w, n_samples: int):
         cfg = self.config
         h, d = cfg.horizon, cfg.state_dim
-        latents = self.encoder.apply(params["encoder"], obstacle_pts[None])
-        fold = cfg_fold(latents[0], guide_w)
+        if cfg.pursuer_conditioned:
+            key, k_p0 = jax.random.split(key)
+            p_pts0 = generate_sphere_points(
+                k_p0, pursuer_init, jnp.asarray(cfg.pursuer_radius),
+                cfg.points_per_obstacle)
+            fold = self._cond_fold(params, obstacle_pts, guide_w, p_pts0)
+        else:
+            latents = self.encoder.apply(params["encoder"], obstacle_pts[None])
+            fold = cfg_fold(latents[0], guide_w)
         endpoints = dfn.Endpoints(start=start, goal=goal)
         goal_state = goal
         obstacle_pts_flat = obstacle_pts.reshape(-1, 2)
@@ -617,9 +658,12 @@ class DynamicPlanner:
             pursuer_pts = generate_sphere_points(
                 k_pts, pursuer, jnp.asarray(cfgc.pursuer_radius),
                 cfgc.points_per_obstacle)
+            fold_t = (self._cond_fold(params, obstacle_pts, guide_w,
+                                      pursuer_pts)
+                      if cfgc.pursuer_conditioned else fold)
 
             x_sel, new_history, cur_state, next_state, reached = \
-                self._stage2_core(params, fold, carry.x_best, carry.history,
+                self._stage2_core(params, fold_t, carry.x_best, carry.history,
                                   carry.h_count, stepp, k_refine, k_replan,
                                   endpoints, static_apf_pts, pursuer_pts,
                                   pursuer, goal_state, obstacle_pts_flat,
@@ -702,8 +746,15 @@ class DynamicPlanner:
 
         cfg = self.config
         h, d = cfg.horizon, cfg.state_dim
-        latents = self.encoder.apply(params["encoder"], obstacle_pts[None])
-        fold = cfg_fold(latents[0], guide_w)
+        if cfg.pursuer_conditioned:
+            key, k_p0 = jax.random.split(key)
+            p_pts0 = generate_sphere_points(
+                k_p0, pursuer_init, jnp.asarray(cfg.pursuer_radius),
+                cfg.points_per_obstacle)
+            fold = self._cond_fold(params, obstacle_pts, guide_w, p_pts0)
+        else:
+            latents = self.encoder.apply(params["encoder"], obstacle_pts[None])
+            fold = cfg_fold(latents[0], guide_w)
         endpoints = dfn.Endpoints(start=start, goal=goal)
         goal_state = goal
         obstacle_pts_flat = obstacle_pts.reshape(-1, 2)
@@ -754,8 +805,11 @@ class DynamicPlanner:
             pursuer_pts = generate_sphere_points(
                 k_pts, pursuer_obs, jnp.asarray(cfg.pursuer_radius),
                 cfg.points_per_obstacle)
+            fold_t = (self._cond_fold(params, obstacle_pts, guide_w,
+                                      pursuer_pts)
+                      if cfg.pursuer_conditioned else fold)
             x_sel, new_history, _cur, next_state, reached = \
-                self._stage2_core(params, fold, carry.x_best, carry.history,
+                self._stage2_core(params, fold_t, carry.x_best, carry.history,
                                   carry.h_count, carry.step, k_refine,
                                   k_replan, endpoints, static_apf_pts,
                                   pursuer_pts, pursuer_obs, goal_state,
@@ -881,18 +935,35 @@ class DynamicPlanner:
     # trajectory they reproduce `run_episode` exactly (tested bitwise).
 
     def begin_episode(self, params, key, obstacle_pts, start, goal,
-                      n_samples: int = 35):
+                      n_samples: int = 35, pursuer_init=None):
         """STAGE I high-level plan (ref :537-549). Returns
-        (ControllerState, high_plan [H, D])."""
+        (ControllerState, high_plan [H, D]).
+
+        pursuer_init: [2] initial observed pursuer position — required when
+        pursuer_conditioned (STAGE I conditions on it)."""
         if not self.config.use_ddim:
             raise NotImplementedError("controller API requires use_ddim=True")
+        if self.config.pursuer_conditioned and pursuer_init is None:
+            raise ValueError("pursuer_conditioned requires pursuer_init")
+        if pursuer_init is None:
+            pursuer_init = jnp.zeros((2,), jnp.float32)  # unused
         sig = ("begin", n_samples)
         if sig not in self._run_jit:
-            def begin(params, key, obstacle_pts, start, goal, guide_w):
+            def begin(params, key, obstacle_pts, start, goal, guide_w,
+                      pursuer_init):
                 cfg = self.config
                 h, d = cfg.horizon, cfg.state_dim
-                latents = self.encoder.apply(params["encoder"], obstacle_pts[None])
-                fold = cfg_fold(latents[0], guide_w)
+                if cfg.pursuer_conditioned:
+                    key, k_p0 = jax.random.split(key)
+                    p_pts0 = generate_sphere_points(
+                        k_p0, pursuer_init, jnp.asarray(cfg.pursuer_radius),
+                        cfg.points_per_obstacle)
+                    fold = self._cond_fold(params, obstacle_pts, guide_w,
+                                           p_pts0)
+                else:
+                    latents = self.encoder.apply(params["encoder"],
+                                                 obstacle_pts[None])
+                    fold = cfg_fold(latents[0], guide_w)
                 endpoints = dfn.Endpoints(start=start, goal=goal)
                 obstacle_pts_flat = obstacle_pts.reshape(-1, 2)
                 ts_high = ddim_timesteps(cfg.n_diffusion_steps, cfg.ddim_steps_high)
@@ -914,7 +985,7 @@ class DynamicPlanner:
                 return state, high_plan
             self._run_jit[sig] = jax.jit(begin)
         return self._run_jit[sig](params, key, obstacle_pts, start, goal,
-                                  self._guide_w())
+                                  self._guide_w(), pursuer_init)
 
     def encode_scene(self, params, obstacle_pts):
         """Scene latents for a fixed obstacle cloud ([tokens, 320]): compute
@@ -949,10 +1020,6 @@ class DynamicPlanner:
             def step_fn(params, state, pursuer_center, obstacle_pts,
                         static_apf_pts, goal, guide_w, scene_latents=None):
                 cfg = self.config
-                if scene_latents is None:
-                    scene_latents = self.encoder.apply(
-                        params["encoder"], obstacle_pts[None])[0]
-                fold = cfg_fold(scene_latents, guide_w)
                 # history row 0 is the episode start (set by begin_episode)
                 endpoints = dfn.Endpoints(start=state.history[0], goal=goal)
                 obstacle_pts_flat = obstacle_pts.reshape(-1, 2)
@@ -961,6 +1028,16 @@ class DynamicPlanner:
                 pursuer_pts = generate_sphere_points(
                     k_pts, pursuer_center, jnp.asarray(cfg.pursuer_radius),
                     cfg.points_per_obstacle)
+                if cfg.pursuer_conditioned:
+                    # the conditioning cloud changes with the observation, so
+                    # a hoisted scene latent cannot be used
+                    fold = self._cond_fold(params, obstacle_pts, guide_w,
+                                           pursuer_pts)
+                else:
+                    if scene_latents is None:
+                        scene_latents = self.encoder.apply(
+                            params["encoder"], obstacle_pts[None])[0]
+                    fold = cfg_fold(scene_latents, guide_w)
                 x_sel, new_history, _cur, next_state, reached = \
                     self._stage2_core(params, fold, state.x_best,
                                       state.history, state.h_count, stepp,
@@ -977,5 +1054,10 @@ class DynamicPlanner:
         args = (params, state, pursuer_center, obstacle_pts, static_apf_pts,
                 goal, self._guide_w())
         if scene_latents is not None:
+            if self.config.pursuer_conditioned:
+                raise ValueError(
+                    "pursuer_conditioned recomputes the scene encoding with "
+                    "the live pursuer row each tick; encode_scene latents "
+                    "cannot be used")
             return self._run_jit[sig](*args, scene_latents=scene_latents)
         return self._run_jit[sig](*args)

@@ -24,7 +24,8 @@ import numpy as np
 import optax
 
 from ramp_tpu.core.schedules import DiffusionSchedule
-from ramp_tpu.parallel.mesh import batch_sharding, make_mesh, replicate, shard_batch
+from ramp_tpu.parallel.mesh import (batch_sharding, coordination_barrier,
+                                    make_mesh, replicate, shard_batch)
 from ramp_tpu.train.losses import diffusion_loss
 from ramp_tpu.train.state import TrainConfig, TrainState, create_train_state, ema_update, make_optimizer
 
@@ -353,6 +354,9 @@ class Trainer:
                 state = restored
                 logger.info("resumed from step %d", int(state.step))
         if self.mesh is not None:
+            # align processes before the first cross-process collective
+            # (the Gloo context init has a fixed ~30 s deadline)
+            coordination_barrier("pre_first_collective")
             state = jax.device_put(state, replicate(self.mesh))
 
         base_key = jax.random.PRNGKey(config.seed)
@@ -444,6 +448,7 @@ class Trainer:
             config, n_items, steps_per_dispatch, mesh=self.mesh)
 
         if self.mesh is not None:
+            coordination_barrier("pre_first_collective")
             rep = replicate(self.mesh)
             state = jax.device_put(state, rep)
             data = jax.device_put(

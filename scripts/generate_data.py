@@ -22,7 +22,7 @@ def main():
     p.add_argument("--out", required=True)
     p.add_argument("--env", default="EnvSimple2dquant",
                    choices=["EnvSimple2dquant", "EnvHard2dquant", "EnvPredator",
-                            "EnvSmall3D"])
+                            "EnvPredatorObstacles", "EnvSmall3D"])
     p.add_argument("--n-tasks", type=int, default=16)
     p.add_argument("--n-trajs", type=int, default=32)
     p.add_argument("--horizon", type=int, default=64)
@@ -30,7 +30,24 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dynamic-layout", action="store_true",
                    help="write obstacle_pointsORG/obstacle_config layout")
+    p.add_argument("--pursuer-aware", action="store_true",
+                   help="EnvPredator[Obstacles] only: plan demonstrations "
+                        "around an inflated pursuer disc and append the "
+                        "pursuer sphere cloud as one extra obstacle row "
+                        "(for DynamicPlannerConfig.pursuer_conditioned)")
     args = p.parse_args()
+    if args.pursuer_aware or args.env == "EnvPredatorObstacles":
+        from ramp_tpu.data.generator import generate_dataset_predator
+        if not args.env.startswith("EnvPredator"):
+            p.error("--pursuer-aware applies to the EnvPredator families")
+        out = generate_dataset_predator(
+            args.out, n_tasks=args.n_tasks,
+            n_trajs_per_task=args.n_trajs, horizon=args.horizon,
+            points_per_obstacle=args.points_per_obstacle, seed=args.seed,
+            n_boxes=8 if args.env == "EnvPredatorObstacles" else 4,
+            env_id=args.env)
+        print(f"wrote dataset to {out}")
+        return
     if args.env == "EnvSmall3D":
         from ramp_tpu.data.generator import generate_dataset_3d
         out = generate_dataset_3d(

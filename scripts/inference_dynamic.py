@@ -47,6 +47,12 @@ def main():
     p.add_argument("--preset", default=None, choices=["parity", "quality"],
                    help="measured knob presets (ramp_tpu/presets.py); "
                         "explicit --cfg-weight wins")
+    p.add_argument("--pursuer-conditioned", action="store_true",
+                   help="condition the score model on the live pursuer "
+                        "cloud (beyond-parity; requires weights trained on "
+                        "a --pursuer-aware dataset). The dataset's own "
+                        "pursuer row, if present, is dropped from the "
+                        "static scene — the planner appends the live one.")
     args = p.parse_args()
 
     from ramp_tpu.utils.platform import enable_compilation_cache, set_platform
@@ -63,6 +69,8 @@ def main():
     cfg_weight = resolve_dynamic_preset(args.preset, args.cfg_weight)
     if cfg_weight is not None:
         overrides["cfg_weight"] = cfg_weight
+    if args.pursuer_conditioned:
+        overrides["pursuer_conditioned"] = True
     cfg = DynamicPlannerConfig(horizon=dataset.horizon,
                                state_dim=dataset.state_dim,
                                unet_input_dim=args.unet_dim,
@@ -76,9 +84,16 @@ def main():
                                  seed=args.seed)
 
     idx = 0
+    scene_points = dataset.obstacle_points[idx]
+    if args.pursuer_conditioned:
+        # a pursuer-aware dataset carries the training pursuer as the last
+        # cloud row; the static scene is the box rows only — the planner
+        # appends the LIVE pursuer cloud each control step
+        n_boxes = len(dataset.box_centers[idx])
+        scene_points = scene_points[:n_boxes]
     harness = DynamicEvalHarness(planner, params)
     results = harness.run_multiple_experiments(
-        dataset.obstacle_points[idx], dataset.box_centers[idx],
+        scene_points, dataset.box_centers[idx],
         dataset.box_sizes[idx],
         n_contexts=args.n_contexts, n_experiments=args.n_experiments,
         n_samples=args.n_samples, seed=args.seed,
@@ -93,7 +108,7 @@ def main():
         ctx = harness._draw_context(rng, dataset.box_centers[idx],
                                     dataset.box_sizes[idx])
         out = harness.run_episode(jax.random.PRNGKey(args.seed),
-                                  dataset.obstacle_points[idx],
+                                  scene_points,
                                   dataset.box_centers[idx],
                                   dataset.box_sizes[idx], ctx,
                                   n_samples=args.n_samples)

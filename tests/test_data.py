@@ -147,3 +147,54 @@ def test_cluttered_scene_padding_cycles_planned_trajectories():
         trajs.append(trajs[len(trajs) % n_planned])
     firsts = [int(t[0, 0]) for t in trajs]
     assert firsts == [0, 1, 2, 0, 1, 2, 0, 1, 2, 0]
+
+
+def test_pursuer_aware_predator_dataset(tmp_path):
+    """generate_dataset_predator: [n_boxes+1]-row clouds whose last row is
+    the pursuer sphere cloud, and demonstrations that clear the inflated
+    pursuer disc (the pursuer-conditioning training signal)."""
+    import yaml
+
+    from ramp_tpu.data.generator import generate_dataset_predator
+
+    out = str(tmp_path / "pred")
+    generate_dataset_predator(out, n_tasks=2, n_trajs_per_task=4,
+                              horizon=24, points_per_obstacle=16, seed=11,
+                              n_boxes=4, pursuer_radius=0.1,
+                              pursuer_margin=0.15)
+    for task in ("0", "1"):
+        pts = np.load(f"{out}/{task}/obstacle_points.npy")
+        trajs = np.load(f"{out}/{task}/trajs-free.npy")
+        meta = yaml.safe_load(open(f"{out}/{task}/metadata.yaml"))
+        assert pts.shape == (5, 16, 2)
+        assert trajs.shape == (4, 24, 4)
+        pc = np.asarray(meta["pursuer_center"], np.float32)
+        # last cloud row is centered on the pursuer at its radius
+        rad = np.linalg.norm(pts[-1] - pc, axis=-1)
+        assert rad.max() <= meta["pursuer_radius"] + 1e-5
+        # every demo waypoint clears the inflated disc (r + margin)
+        d = np.linalg.norm(trajs[:, :, :2] - pc, axis=-1)
+        assert d.min() > 0.1 + 0.15 - 0.03  # small slack: grid resolution
+
+    # the standard loader reads the layout unchanged (per-item clouds:
+    # 2 tasks x 4 trajs)
+    ds = TrajectoryDataset(out, include_velocity=True)
+    assert ds.obstacle_points.shape == (8, 5, 16, 2)
+    assert ds.horizon == 24
+
+
+def test_pursuer_aware_obstacle_rich_variant(tmp_path):
+    """EnvPredatorObstacles (ref deps/.../EnvPredatorExtra.py:13): 8 boxes
+    + the pursuer row."""
+    from ramp_tpu.data.generator import generate_dataset_predator
+
+    out = str(tmp_path / "predobs")
+    generate_dataset_predator(out, n_tasks=1, n_trajs_per_task=3,
+                              horizon=24, points_per_obstacle=16, seed=3,
+                              n_boxes=8, env_id="EnvPredatorObstacles")
+    pts = np.load(f"{out}/0/obstacle_points.npy")
+    assert pts.shape == (9, 16, 2)
+    import yaml
+    meta = yaml.safe_load(open(f"{out}/0/metadata.yaml"))
+    assert meta["env_id"] == "EnvPredatorObstacles"
+    assert len(meta["box_centers"]) == 8

@@ -163,6 +163,62 @@ def test_dynamic_planner_episode():
 
 
 @pytest.mark.slow
+def test_dynamic_planner_pursuer_conditioned():
+    """pursuer_conditioned appends the live pursuer cloud as an extra
+    encoder row per control step (beyond-parity; trained on
+    generate_dataset_predator's [O+1]-row clouds)."""
+    kwargs = dict(horizon=12, n_diffusion_steps=10, unet_input_dim=8,
+                  unet_dim_mults_option=0, ddim_steps_high=5,
+                  ddim_steps_low=2, max_iterations=3, points_per_obstacle=8,
+                  dtype="float32")
+    p = DynamicPlanner(DynamicPlannerConfig(pursuer_conditioned=True,
+                                            **kwargs))
+    # encoder params are set-size independent: init with the [O+1] layout.
+    # Jitter every weight: the cross-attention proj_out is zero-initialized,
+    # so at exact init the scene latent (and hence the pursuer row) has no
+    # effect on the U-Net output.
+    params = p.init_params(jax.random.PRNGKey(0), n_obstacles=5, n_points=8)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    ks = jax.random.split(jax.random.PRNGKey(42), len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        treedef, [l + 0.02 * jax.random.normal(k, l.shape, l.dtype)
+                  for l, k in zip(leaves, ks)])
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (4, 8, 2),
+                             minval=-0.8, maxval=0.8)
+    apf_pts = pts.reshape(-1, 2)
+    start = jnp.asarray([-0.8, -0.8, 0.0, 0.0])
+    goal = jnp.asarray([0.8, 0.8, 0.0, 0.0])
+    pursuer = jnp.asarray([0.0, 0.8])
+    result = p.run_episode(params, jax.random.PRNGKey(2), pts, apf_pts,
+                           start, goal, pursuer, n_samples=3)
+    assert result.plans.shape == (3, 12, 4)
+    assert np.isfinite(np.asarray(result.plans)).all()
+
+    # the conditioning must actually depend on the pursuer position: the
+    # same key with a different pursuer start must change the STAGE-I plan
+    # (with conditioning OFF it cannot — STAGE I never sees the pursuer)
+    far = jnp.asarray([-0.8, 0.8])
+    r2 = p.run_episode(params, jax.random.PRNGKey(2), pts, apf_pts,
+                       start, goal, far, n_samples=3)
+    assert not np.allclose(np.asarray(result.high_plan),
+                           np.asarray(r2.high_plan))
+
+    p_off = DynamicPlanner(DynamicPlannerConfig(**kwargs))
+    params_off = p_off.init_params(jax.random.PRNGKey(0), n_obstacles=4,
+                                   n_points=8)
+    leaves, treedef = jax.tree_util.tree_flatten(params_off)
+    ks = jax.random.split(jax.random.PRNGKey(43), len(leaves))
+    params_off = jax.tree_util.tree_unflatten(
+        treedef, [l + 0.02 * jax.random.normal(k, l.shape, l.dtype)
+                  for l, k in zip(leaves, ks)])
+    a = p_off.run_episode(params_off, jax.random.PRNGKey(2), pts, apf_pts,
+                          start, goal, pursuer, n_samples=3)
+    b = p_off.run_episode(params_off, jax.random.PRNGKey(2), pts, apf_pts,
+                          start, goal, far, n_samples=3)
+    assert np.allclose(np.asarray(a.high_plan), np.asarray(b.high_plan))
+
+
+@pytest.mark.slow
 def test_dynamic_planner_ddpm_variant():
     """DDPM p_sample_loop closed loop (ref diffusion_model_dynamic.py:216-331)
     end-to-end under jit (tiny everything)."""
