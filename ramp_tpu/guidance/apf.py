@@ -99,23 +99,27 @@ def apf_static_batch(traj: jax.Array, pts: jax.Array,
                      window: int = 7) -> jax.Array:
     """Vectorized static avoidance (ref APFhelper.py:37-104).
 
-    traj: [B, H, D] (first two state dims are xy); pts: [N, 2] flattened
-    obstacle points. One pass; callers iterate (the static DDIM sampler
-    applies 3 passes, re-querying each time, ref
+    traj: [B, H, D] (the first `pts.shape[-1]` state dims are the
+    position); pts: [N, P] flattened obstacle points. P=2 matches the
+    reference exactly; P=3 is the beyond-parity 3-D extension (the
+    reference has no 3-D APF) — the math is dimension-generic, only the
+    position slice changes. One pass; callers iterate (the static DDIM
+    sampler applies 3 passes, re-querying each time, ref
     diffusion_model_static.py:315-319).
     """
     b, h, d = traj.shape
-    xy = traj[..., :2]
-    dist, nearest = nearest_obstacle(xy, pts)           # [B,H], [B,H,2]
+    pos_dim = pts.shape[-1]
+    xy = traj[..., :pos_dim]
+    dist, nearest = nearest_obstacle(xy, pts)           # [B,H], [B,H,P]
     direction = xy - nearest
     direction = direction / (dist[..., None] + 1e-8)
     collide = dist < distance_threshold
     magnitude = jnp.where(collide, strength * jnp.exp(-dist / distance_threshold), 0.0)
-    force = magnitude[..., None] * direction            # [B,H,2]
+    force = magnitude[..., None] * direction            # [B,H,P]
     w_mat = _gaussian_window_matrix(h, window)
     force_field = jnp.einsum("ji,bic->bjc", w_mat, force,
                              preferred_element_type=jnp.float32)
-    return traj.at[..., :2].add(force_field.astype(traj.dtype))
+    return traj.at[..., :pos_dim].add(force_field.astype(traj.dtype))
 
 
 def apf_windowed(traj: jax.Array, pts: jax.Array,

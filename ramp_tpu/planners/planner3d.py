@@ -46,6 +46,11 @@ class Planner3DConfig:
                                            # = the broken reference behavior
     resample_steps: int = 1                # ref :199-210 (ships disabled)
     ddim_steps_override: Optional[int] = None  # None = reference T // 5
+    # Beyond-parity: APF guidance on the DDPM posterior mean, the 3-D
+    # extension of the static 2-D hook (the reference has no 3-D APF; the
+    # force math in guidance/apf.py is dimension-generic). Off by default.
+    use_apf: bool = False
+    apf: "APFParams" = None  # None -> APFParams(backend="xla") at use
     dtype: str = "bfloat16"
     attn_impl: str = "default"             # self-attn lowering: default or bnhd
 
@@ -112,12 +117,22 @@ class Planner3D:
                 clip_x0=cfg.ddim_clip_x0,
                 n_ddim=cfg.ddim_steps,
                 return_chain=return_chain)
+        apf, apf_points = None, None
+        if cfg.use_apf:
+            from ramp_tpu.guidance.apf import APFParams
+            # the Pallas kernel is 2-D; the XLA path fuses the 3-D force.
+            # apply_from_step=15: force the mean only once trajectories are
+            # mostly formed (last ~9 of the 25 ancestral steps)
+            apf = cfg.apf or APFParams(backend="xla", apply_from_step=15)
+            # compose: the union of both obstacle sets is the force field
+            apf_points = obstacle_pts.reshape(-1, 3)
         return ddpm_sample_chain(
             self.schedule, self._eps_fn, params["unet"], key, shape,
             endpoints, fold,
             n_diffusion_steps_without_noise=cfg.n_diffusion_steps_without_noise,
             predict_epsilon=cfg.predict_epsilon,
             resample_steps=cfg.resample_steps,
+            apf=apf, apf_points=apf_points,
             return_chain=return_chain)
 
     def plan_fn(self, n_samples: int, return_chain: bool = True):

@@ -68,6 +68,21 @@ def main():
     p.add_argument("--ddim-steps", type=int, default=None,
                    help="DDIM step count (implies --ddim; default: the "
                         "reference's T//5)")
+    p.add_argument("--resample-steps", type=int, default=None,
+                   help="repeat each DDPM denoise step N times, re-noising "
+                        "between repeats (the reference's ship-disabled "
+                        "resampling loop, diffusion_model_3d.py:199-210)")
+    p.add_argument("--use-apf", action="store_true",
+                   help="APF guidance on the DDPM posterior mean — the 3-D "
+                        "extension of the static 2-D hook (beyond-parity; "
+                        "the reference has no 3-D APF)")
+    p.add_argument("--apf-threshold", type=float, default=None,
+                   help="APF distance threshold (default 0.07)")
+    p.add_argument("--apf-strength", type=float, default=None,
+                   help="APF force strength (default 0.1)")
+    p.add_argument("--apf-from-step", type=int, default=None,
+                   help="apply APF once forward_t exceeds this (default 15 "
+                        "of the 25 ancestral steps)")
     args = p.parse_args()
 
     from ramp_tpu.utils.platform import enable_compilation_cache, set_platform
@@ -90,6 +105,19 @@ def main():
         overrides["ddim_steps_override"] = args.ddim_steps
     elif preset_ddim_steps is not None:
         overrides["ddim_steps_override"] = preset_ddim_steps
+    if args.resample_steps is not None:
+        overrides["resample_steps"] = args.resample_steps
+    if args.use_apf:
+        from ramp_tpu.guidance.apf import APFParams
+        overrides["use_apf"] = True
+        overrides["apf"] = APFParams(
+            backend="xla",
+            distance_threshold=(args.apf_threshold
+                                if args.apf_threshold is not None else 0.07),
+            strength=(args.apf_strength
+                      if args.apf_strength is not None else 0.1),
+            apply_from_step=(args.apf_from_step
+                             if args.apf_from_step is not None else 15))
     cfg = Planner3DConfig(horizon=dataset.horizon, state_dim=dataset.state_dim,
                           unet_input_dim=args.unet_dim,
                           unet_dim_mults_option=args.dim_mults_option,

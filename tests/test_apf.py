@@ -117,3 +117,30 @@ def test_apf_pursuer_decay_uses_static_threshold():
     legacy = apf_pursuer(traj, pts, thr_pred, strength, goal, goal_blend=0.0)
     np.testing.assert_allclose(float(legacy[0, 0] - traj[0, 0]),
                                strength * np.exp(-d0 / thr_pred), rtol=1e-5)
+
+
+def test_apf_static_batch_3d_extension():
+    """The force math is dimension-generic: a [N, 3] cloud applies forces
+    to the first three state dims (beyond-parity — the reference has no
+    3-D APF)."""
+    import jax.numpy as jnp
+
+    from ramp_tpu.guidance.apf import apf_static_batch
+
+    h = 8
+    # trajectory passing straight through a point at the origin, in 3-D
+    xyz = jnp.stack([jnp.linspace(-0.1, 0.1, h),
+                     jnp.zeros(h), jnp.zeros(h)], axis=-1)
+    traj = jnp.concatenate([xyz, jnp.zeros((h, 3))], axis=-1)[None]  # [1,8,6]
+    pts = jnp.asarray([[0.0, 0.001, 0.0]])
+    out = apf_static_batch(traj, pts, distance_threshold=0.07,
+                          strength=0.1, window=3)
+    # pushed away from the obstacle along -y (the obstacle sits at +y)
+    assert float(out[0, h // 2, 1]) < float(traj[0, h // 2, 1])
+    # velocity dims (3:6) untouched
+    assert jnp.allclose(out[0, :, 3:], traj[0, :, 3:])
+    # a trajectory entirely far from the cloud is untouched
+    far = traj + jnp.asarray([0.0, 0.8, 0.0, 0.0, 0.0, 0.0])
+    out_far = apf_static_batch(far, pts, distance_threshold=0.07,
+                               strength=0.1, window=3)
+    assert jnp.allclose(out_far, far)
