@@ -27,6 +27,7 @@ def tiny_setup(tmp_path_factory):
     return dataset, planner, params
 
 
+@pytest.mark.slow
 def test_static_full_evaluation_json(tiny_setup, tmp_path):
     dataset, planner, params = tiny_setup
     harness = StaticEvalHarness(planner, params, normalizer=dataset.normalizer)

@@ -115,6 +115,7 @@ def test_encoder_3d_output_shape_and_obstacle_permutation_invariance():
     np.testing.assert_allclose(np.asarray(lat), np.asarray(lat_perm), atol=1e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("horizon,mults_opt", [(64, 1), (48, 1), (64, 0)])
 def test_unet_shapes(horizon, mults_opt):
     key = jax.random.PRNGKey(0)
@@ -127,6 +128,7 @@ def test_unet_shapes(horizon, mults_opt):
     assert y.shape == (2, horizon, 4)
 
 
+@pytest.mark.slow
 def test_energy_eps_grad():
     key = jax.random.PRNGKey(0)
     unet = TemporalUnet(state_dim=4)
@@ -160,6 +162,7 @@ def test_energy_and_value():
     assert float(energy) > 0
 
 
+@pytest.mark.slow
 def test_attn_impl_bnhd_matches_default():
     """The bnhd (no-head-transpose) lowering is the same math as default."""
     key = jax.random.PRNGKey(3)

@@ -19,6 +19,7 @@ def test_static_planner_ddim_steps_override():
                                ddim_steps_override=4).ddim_steps == 4
 
 
+@pytest.mark.slow
 def test_static_planner_override_chain_length():
     cfg = StaticPlannerConfig(horizon=16, n_diffusion_steps=10,
                               unet_input_dim=8, unet_dim_mults_option=0,
@@ -36,6 +37,7 @@ def test_static_planner_override_chain_length():
     assert np.isfinite(np.asarray(x)).all()
 
 
+@pytest.mark.slow
 def test_static_planner_compose_mode():
     cfg = StaticPlannerConfig(horizon=16, n_diffusion_steps=10,
                               unet_input_dim=8, unet_dim_mults_option=0,
@@ -56,6 +58,7 @@ def test_static_planner_compose_mode():
     assert np.isfinite(np.asarray(x)).all()
 
 
+@pytest.mark.slow
 def test_static_planner_ddpm_with_apf():
     """DDPM ancestral path + APF (ref p_sample_loop w/ APF constants
     apply_from_step=20, window=5). Regression: the APFParams override used
@@ -79,6 +82,7 @@ def test_static_planner_ddpm_with_apf():
     assert np.isfinite(np.asarray(x)).all()
 
 
+@pytest.mark.slow
 def test_planner3d_shapes_and_pinning():
     cfg = Planner3DConfig(horizon=16, n_diffusion_steps=8, unet_input_dim=8,
                           unet_dim_mults_option=0, dtype="float32")
@@ -96,6 +100,7 @@ def test_planner3d_shapes_and_pinning():
     assert np.isfinite(np.asarray(x)).all()
 
 
+@pytest.mark.slow
 def test_planner3d_ddim_and_resampling():
     """Optional 3-D paths: the model's own DDIM variant (ref
     diffusion_model_3d.py:220-287 — truncated-linspace grid with -1 sentinel,
@@ -249,6 +254,7 @@ def test_dynamic_planner_ddpm_variant():
                                atol=1e-4)
 
 
+@pytest.mark.slow
 def test_static_planner_sharded_population():
     """Inference-time data parallelism: the trajectory population shards over
     the mesh's data axis and matches the single-device result bitwise (JAX
@@ -277,6 +283,7 @@ def test_static_planner_sharded_population():
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_planner3d_sharded_population():
     from ramp_tpu.parallel.mesh import make_mesh
 
@@ -326,6 +333,7 @@ def test_dynamic_planner_batched_episodes():
                                np.asarray(solo.plans), rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_static_planner_guide_weight_traced():
     """Different CFG weights change the output through the SAME jitted
     callable — the weight is a traced argument, not a baked constant."""
@@ -359,6 +367,7 @@ def test_static_planner_guide_weight_traced():
     np.testing.assert_allclose(np.asarray(x6), np.asarray(xB), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_controller_api_replays_episode():
     """begin_episode + controller_step (the deployment surface: observed
     pursuer per tick) reproduces the jitted episode scan when fed the same

@@ -241,6 +241,7 @@ def test_bicycle_stays_in_arena():
     assert float(s.x) <= 1.0
 
 
+@pytest.mark.slow
 def test_landing_phase_plans_contract_and_equivalence():
     """A goal exit with real landing ticks: the host engine emits one
     (frozen) plan row per landing tick so the chains contract holds, and

@@ -34,6 +34,7 @@ def _endpoints():
     return dfn.Endpoints(start=start, goal=goal)
 
 
+@pytest.mark.slow
 def test_guided_eps_cfg_combine(tiny_model):
     """CFG fold must equal the explicit (1+w)*cond - w*uncond combine."""
     _, params, eps_fn = tiny_model
@@ -52,6 +53,7 @@ def test_guided_eps_cfg_combine(tiny_model):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_guided_eps_compose_combine(tiny_model):
     """Compose fold must equal out2 + w1(out0-out2) + w2(out1-out2)."""
     _, params, eps_fn = tiny_model
@@ -114,6 +116,7 @@ def test_ddpm_chain_extra_noiseless_steps(tiny_model):
                                np.broadcast_to(np.asarray(ep.start), (B, D)), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_ddim_jit_once_for_different_scenes(tiny_model):
     """One compiled plan must serve different obstacle latents (traced args)."""
     _, params, eps_fn = tiny_model

@@ -130,6 +130,7 @@ def test_plan_service_3d_family():
         svc.plan(np.zeros((3, 8, 2)), [0] * 6, [0] * 6)
 
 
+@pytest.mark.slow
 def test_controller_service_episode_http():
     """Closed-loop episode sessions over HTTP: /episode/begin -> N x
     /episode/step with an observed pursuer -> /episode/end."""

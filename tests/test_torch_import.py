@@ -92,6 +92,7 @@ def test_unet_forward_matches_reference():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_energy_eps_matches_reference_autograd():
     """eps = grad_x 0.5||f||^2: jax.grad vs the reference's torch.autograd
     (EnergyGradFunction, UnetInference.py:19-37) on identical weights."""
@@ -146,6 +147,7 @@ def test_encoder2d_matches_reference():
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_pth_checkpoint_loads_into_planner(tmp_path):
     """End-to-end: a reference-format .pth (DDP full dict, keys model.* +
     schedule buffers, trainerddp/trainer.py:34-45) loads via

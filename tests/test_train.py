@@ -150,6 +150,7 @@ def test_process_shard_indices_partition():
     assert all(len(s) == 4 for s in shards)
 
 
+@pytest.mark.slow
 def test_npz_weight_roundtrip(tmp_path):
     """export_params_npz/load_params_npz restore shape, dtype, and values
     (to f16 storage precision)."""
