@@ -64,6 +64,10 @@ class Planner3DConfig:
 
 class Planner3D:
     def __init__(self, config: Planner3DConfig = Planner3DConfig()):
+        if config.use_apf and config.use_ddim:
+            raise ValueError(
+                "3-D APF is wired into the DDPM ancestral chain only; "
+                "use_ddim=True would silently drop it")
         self.config = config
         dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
         self.unet = TemporalUnet(

@@ -87,8 +87,13 @@ def main() -> None:
     elif args.family == "3d":
         from ramp_tpu.planners.planner3d import Planner3D, Planner3DConfig
         from ramp_tpu.presets import resolve_3d_preset
-        if args.use_apf or args.ddim_steps is not None:
-            p.error("--use-apf/--ddim-steps apply to --family static only")
+        if args.ddim_steps is not None:
+            p.error("--ddim-steps applies to --family static only "
+                    "(use --preset fast for the 3-D DDIM-8 sampler)")
+        if args.use_apf:
+            # beyond-parity 3-D APF on the DDPM chain (guidance/apf.py is
+            # dimension-generic; the reference has no 3-D APF)
+            overrides["use_apf"] = True
         use_ddim, preset_ddim_steps, cfg_weight = resolve_3d_preset(
             args.preset, args.cfg_weight, compose=args.compose)
         if cfg_weight is not None:

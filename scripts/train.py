@@ -36,6 +36,15 @@ def main():
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--seed", type=int, default=101)
     p.add_argument("--threed", action="store_true", help="train the 3-D model")
+    p.add_argument("--family", default=None,
+                   choices=["static", "dynamic", "3d"],
+                   help="planner family (mirrors the reference's '3d' "
+                        "switch, trainddp.py:112-114). 'dynamic' trains the "
+                        "same score model as 'static' — the closed-loop "
+                        "machinery is inference-time only — over a "
+                        "predator dataset (horizon 48; pursuer-aware "
+                        "[O+1]-row clouds train the pursuer-conditioned "
+                        "variant). '3d' is equivalent to --threed.")
     p.add_argument("--horizon", type=int, default=None)
     p.add_argument("--n-diffusion-steps", type=int, default=None)
     p.add_argument("--unet-dim", type=int, default=32,
@@ -84,6 +93,11 @@ def main():
                                 normalizer_from=args.normalizer_dataset)
     horizon = args.horizon or dataset.horizon
 
+    if args.family == "3d":
+        args.threed = True
+    if args.family == "dynamic" and dataset.state_dim != 4:
+        p.error("--family dynamic expects a 2-D predator dataset "
+                "(state_dim 4)")
     if args.threed:
         cfg3 = Planner3DConfig(horizon=horizon, state_dim=dataset.state_dim,
                                n_diffusion_steps=args.n_diffusion_steps or 25,
