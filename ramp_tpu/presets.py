@@ -36,6 +36,12 @@ grids (small probe grids repeatedly misled — see the dynamic w=3.5 and
                                 the bump is small-grid noise; quality is
                                 parity until a knob shows a real gain at
                                 1000 episodes)
+      fast     3 refine steps  0.654 at paper scale (CI .624-.683 vs
+                                parity .616-.675 — indistinguishable
+                                quality) at p50 24 vs 32 ms (-25%): two
+                                fewer U-Net calls per replan, a mechanical
+                                latency win that survives 1000 episodes
+                                (`eval_results_dynamic_paper_l3.json`)
 
     3d      (12 scenes x 5 contexts x 4 samples, success)
       parity   DDPM-25, w=5.75  0.917 / 1.04% coll / path 1.44 / 39.1ms
@@ -82,8 +88,12 @@ DYNAMIC_PRESETS = {
     "parity": {},
     # w=3.5 won every small probe grid but lost the 100x10 paper-scale
     # A/B (0.633 vs 0.646, eval_results_dynamic_paper{_quality,}.json);
-    # no dynamic knob has a measured paper-scale gain, so quality=parity.
+    # no dynamic knob has a measured paper-scale QUALITY gain, so
+    # quality=parity.
     "quality": {},
+    # 3 STAGE-II refine steps: paper-scale score 0.654 (ties parity's
+    # 0.646 within CI) at -25% p50 (eval_results_dynamic_paper_l3.json).
+    "fast": {"ddim_steps_low": 3},
 }
 
 PRESETS_3D = {
@@ -112,10 +122,17 @@ def resolve_static_preset(preset: Optional[str],
 
 
 def resolve_dynamic_preset(preset: Optional[str],
-                           cfg_weight: Optional[float]) -> Optional[float]:
-    """CFG weight for the dynamic planner (explicit flag wins)."""
+                           cfg_weight: Optional[float],
+                           ddim_steps_low: Optional[int] = None
+                           ) -> Tuple[Optional[float], Optional[int]]:
+    """(CFG weight, STAGE-II refine steps) for the dynamic planner
+    (explicit flags win)."""
     table = DYNAMIC_PRESETS[preset or "parity"]
-    return cfg_weight if cfg_weight is not None else table.get("cfg_weight")
+    if cfg_weight is None:
+        cfg_weight = table.get("cfg_weight")
+    if ddim_steps_low is None:
+        ddim_steps_low = table.get("ddim_steps_low")
+    return cfg_weight, ddim_steps_low
 
 
 def resolve_3d_preset(preset: Optional[str], cfg_weight: Optional[float],

@@ -44,9 +44,11 @@ def main():
                    help="STAGE-II refine DDIM steps (default: reference parity 5)")
     p.add_argument("--cfg-weight", type=float, default=None,
                    help="CFG weight (default: reference parity w=2.5)")
-    p.add_argument("--preset", default=None, choices=["parity", "quality"],
+    p.add_argument("--preset", default=None,
+                   choices=["parity", "quality", "fast"],
                    help="measured knob presets (ramp_tpu/presets.py); "
-                        "explicit --cfg-weight wins")
+                        "fast = 3 STAGE-II refine steps (paper-scale score "
+                        "0.654 ~ parity at -25%% p50); explicit knobs win")
     p.add_argument("--pursuer-conditioned", action="store_true",
                    help="condition the score model on the live pursuer "
                         "cloud (beyond-parity; requires weights trained on "
@@ -63,12 +65,13 @@ def main():
     overrides = {}
     if args.ddim_steps_high is not None:
         overrides["ddim_steps_high"] = args.ddim_steps_high
-    if args.ddim_steps_low is not None:
-        overrides["ddim_steps_low"] = args.ddim_steps_low
     from ramp_tpu.presets import resolve_dynamic_preset
-    cfg_weight = resolve_dynamic_preset(args.preset, args.cfg_weight)
+    cfg_weight, ddim_steps_low = resolve_dynamic_preset(
+        args.preset, args.cfg_weight, args.ddim_steps_low)
     if cfg_weight is not None:
         overrides["cfg_weight"] = cfg_weight
+    if ddim_steps_low is not None:
+        overrides["ddim_steps_low"] = ddim_steps_low
     if args.pursuer_conditioned:
         overrides["pursuer_conditioned"] = True
     cfg = DynamicPlannerConfig(horizon=dataset.horizon,

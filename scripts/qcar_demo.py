@@ -67,7 +67,8 @@ def main():
     p.add_argument("--dim-mults-option", type=int, default=1, choices=[0, 1])
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     p.add_argument("--cfg-weight", type=float, default=None)
-    p.add_argument("--preset", default=None, choices=["parity", "quality"])
+    p.add_argument("--preset", default=None,
+                   choices=["parity", "quality", "fast"])
     args = p.parse_args()
 
     from ramp_tpu.utils.platform import enable_compilation_cache, set_platform
@@ -86,9 +87,12 @@ def main():
 
     dataset = TrajectoryDataset(args.dataset, include_velocity=True)
     overrides = {}
-    cfg_weight = resolve_dynamic_preset(args.preset, args.cfg_weight)
+    cfg_weight, ddim_steps_low = resolve_dynamic_preset(
+        args.preset, args.cfg_weight)
     if cfg_weight is not None:
         overrides["cfg_weight"] = cfg_weight
+    if ddim_steps_low is not None:
+        overrides["ddim_steps_low"] = ddim_steps_low
     cfg = DynamicPlannerConfig(horizon=dataset.horizon,
                                state_dim=dataset.state_dim,
                                unet_input_dim=args.unet_dim,

@@ -43,7 +43,7 @@ def main() -> None:
     p.add_argument("--preset", default=None,
                    choices=["parity", "quality", "fast"],
                    help="measured per-family knob presets "
-                        "(ramp_tpu/presets.py); 'fast' is static/3d-only")
+                        "(ramp_tpu/presets.py)")
     p.add_argument("--cfg-weight", type=float, default=None)
     p.add_argument("--unet-dim", type=int, default=32)
     p.add_argument("--dim-mults-option", type=int, default=1, choices=[0, 1])
@@ -66,17 +66,18 @@ def main() -> None:
     # cfg_weight enters overrides per family below, via resolve_*_preset
     # (explicit flag wins inside the resolver).
     overrides = {}
-    if args.preset == "fast" and args.family == "dynamic":
-        p.error("--preset fast applies to the static/3d families only")
     if args.family == "dynamic":
         from ramp_tpu.planners.dynamic import DynamicPlanner, DynamicPlannerConfig
         from ramp_tpu.presets import resolve_dynamic_preset
         if args.use_apf or args.ddim_steps is not None or args.compose:
             p.error("--use-apf/--ddim-steps/--compose apply to "
                     "the static/3d families only")
-        cfg_weight = resolve_dynamic_preset(args.preset, args.cfg_weight)
+        cfg_weight, ddim_steps_low = resolve_dynamic_preset(
+            args.preset, args.cfg_weight)
         if cfg_weight is not None:
             overrides["cfg_weight"] = cfg_weight
+        if ddim_steps_low is not None:
+            overrides["ddim_steps_low"] = ddim_steps_low
         cfg = DynamicPlannerConfig(horizon=dataset.horizon,
                                    state_dim=dataset.state_dim,
                                    unet_input_dim=args.unet_dim,

@@ -24,11 +24,16 @@ def test_explicit_knobs_override_preset():
 
 def test_dynamic_presets():
     assert DYNAMIC_PRESETS["parity"] == {}
-    assert resolve_dynamic_preset(None, None) is None
+    assert resolve_dynamic_preset(None, None) == (None, None)
     # the w=3.5 small-grid peak lost the 100x10 paper A/B (0.633 vs
     # 0.646), so dynamic quality resolves to parity settings
-    assert resolve_dynamic_preset("quality", None) is None
-    assert resolve_dynamic_preset("quality", 2.5) == 2.5
+    assert resolve_dynamic_preset("quality", None) == (None, None)
+    assert resolve_dynamic_preset("quality", 2.5) == (2.5, None)
+    # fast = 3 STAGE-II refine steps: paper-scale 0.654 ~ parity 0.646
+    # (CIs overlap) at -25% p50 (eval_results_dynamic_paper_l3.json)
+    assert resolve_dynamic_preset("fast", None) == (None, 3)
+    # explicit knobs win over the preset
+    assert resolve_dynamic_preset("fast", 3.0, 5) == (3.0, 5)
 
 
 def test_3d_presets():
