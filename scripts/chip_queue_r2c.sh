@@ -6,6 +6,8 @@
 # to 120k steps (resume can extend it next round):
 #   export obs -> PC 50x4 -> obs 50x4 -> bench -> PC paper grid ->
 #   static train 120k -> export -> static parity eval -> d4w5 eval
+# (reordered: the 100x10 paper grid runs LAST — it is the piece that can
+# be cut at round end without losing the static data-scaling eval)
 # Run as:
 #   nohup bash scripts/chip_queue_r2c.sh <obs_train_pid> > logs/chip_queue_r2c.out 2>&1 &
 set -u
@@ -52,14 +54,6 @@ if [ ! -f logs/bench_r2_1.json ]; then
       || echo "BENCH FAILED"
 fi
 
-if [ ! -f eval_results_dynamic_pc_paper.json ]; then
-  log "PC model on the 100x10 paper grid"
-  python scripts/inference_dynamic.py --dataset dataset/EnvPredator_v2 \
-      --checkpoints artifacts/weights/predator_pc_v1.npz \
-      --pursuer-conditioned --n-contexts 100 --n-experiments 10 \
-      --results eval_results_dynamic_pc_paper.json \
-      > logs/eval_dynamic_pc_paper.out 2>&1 || echo "PC PAPER FAILED"
-fi
 
 if [ ! -f artifacts/weights/simple2d_v4.npz ]; then
   log "train static on 8x scenes (120k, time-boxed; resumable)"
@@ -91,6 +85,15 @@ if [ ! -f eval_results_static_v4_d4w5.json ]; then
       --n-contexts 20 --n-samples 20 --ddim-steps 4 --cfg-weight 5 \
       --results eval_results_static_v4_d4w5.json \
       > logs/eval_static_v4_d4w5.out 2>&1 || echo "V4 D4W5 FAILED"
+fi
+
+if [ ! -f eval_results_dynamic_pc_paper.json ]; then
+  log "PC model on the 100x10 paper grid"
+  python scripts/inference_dynamic.py --dataset dataset/EnvPredator_v2 \
+      --checkpoints artifacts/weights/predator_pc_v1.npz \
+      --pursuer-conditioned --n-contexts 100 --n-experiments 10 \
+      --results eval_results_dynamic_pc_paper.json \
+      > logs/eval_dynamic_pc_paper.out 2>&1 || echo "PC PAPER FAILED"
 fi
 
 log "stage C done"
