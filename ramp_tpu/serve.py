@@ -160,7 +160,8 @@ class ControllerService:
       POST /episode/begin {"obstacle_points": [O][P][2],
                            "start": [D], "goal": [D],
                            "apf_points": [M][2]?,   # default: flattened clouds
-                           "seed": int?, "n_samples": int?}
+                           "seed": int?, "n_samples": int?,
+                           "pursuer": [2]?}  # REQUIRED if pursuer-conditioned
         -> {"episode_id", "high_plan": [H][D]}
       POST /episode/step  {"episode_id", "pursuer": [2]}  # observed position
         -> {"plan": [H][D], "next_state": [D], "reached": 0/1, "step": k}
@@ -186,7 +187,7 @@ class ControllerService:
 
     def begin(self, obstacle_points, start, goal, apf_points=None,
               seed: Optional[int] = None,
-              n_samples: Optional[int] = None) -> Dict:
+              n_samples: Optional[int] = None, pursuer=None) -> Dict:
         n_samples = int(n_samples or self.default_n_samples)
         pts = np.asarray(obstacle_points, np.float32)
         if pts.ndim != 3 or pts.shape[-1] != 2:
@@ -209,10 +210,20 @@ class ControllerService:
             self._counter += 1
             key = jax.random.PRNGKey(int(seed))
             pts_dev = jnp.asarray(pts)
+            conditioned = self.planner.config.pursuer_conditioned
+            if conditioned and pursuer is None:
+                raise ValueError(
+                    "this server runs a pursuer-conditioned planner: "
+                    "/episode/begin requires an initial 'pursuer' [2]")
+            p_init = (jnp.asarray(np.asarray(pursuer, np.float32))
+                      if pursuer is not None else None)
             state, high_plan = self.planner.begin_episode(
                 self.params, key, pts_dev, start_n, goal_n,
-                n_samples=n_samples)
-            latents = self.planner.encode_scene(self.params, pts_dev)
+                n_samples=n_samples, pursuer_init=p_init)
+            # the conditioning cloud changes with the observed pursuer every
+            # tick, so the hoisted scene latent only applies unconditioned
+            latents = (None if conditioned
+                       else self.planner.encode_scene(self.params, pts_dev))
             jax.block_until_ready(high_plan)
             # evict finished sessions first, then the oldest, to stay bounded
             if len(self._sessions) >= self.MAX_SESSIONS:
@@ -304,7 +315,8 @@ def _make_handler(service, controller: Optional[ControllerService] = None):
                     out = controller.begin(
                         req["obstacle_points"], req["start"], req["goal"],
                         apf_points=req.get("apf_points"),
-                        seed=req.get("seed"), n_samples=req.get("n_samples"))
+                        seed=req.get("seed"), n_samples=req.get("n_samples"),
+                        pursuer=req.get("pursuer"))
                 elif self.path == "/episode/step" and controller is not None:
                     out = controller.step(req["episode_id"], req["pursuer"])
                 elif self.path == "/episode/end" and controller is not None:

@@ -49,6 +49,11 @@ def main() -> None:
     p.add_argument("--dim-mults-option", type=int, default=1, choices=[0, 1])
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--pursuer-conditioned", action="store_true",
+                   help="--family dynamic only: condition the score model "
+                        "on the observed pursuer cloud each tick (requires "
+                        "weights trained on a --pursuer-aware dataset; "
+                        "/episode/begin then requires a 'pursuer' field)")
     p.add_argument("--no-warm", action="store_true",
                    help="skip startup compilation (first request pays it)")
     args = p.parse_args()
@@ -66,6 +71,8 @@ def main() -> None:
     # cfg_weight enters overrides per family below, via resolve_*_preset
     # (explicit flag wins inside the resolver).
     overrides = {}
+    if args.pursuer_conditioned and args.family != "dynamic":
+        p.error("--pursuer-conditioned applies to --family dynamic only")
     if args.family == "dynamic":
         from ramp_tpu.planners.dynamic import DynamicPlanner, DynamicPlannerConfig
         from ramp_tpu.presets import resolve_dynamic_preset
@@ -78,6 +85,8 @@ def main() -> None:
             overrides["cfg_weight"] = cfg_weight
         if ddim_steps_low is not None:
             overrides["ddim_steps_low"] = ddim_steps_low
+        if args.pursuer_conditioned:
+            overrides["pursuer_conditioned"] = True
         cfg = DynamicPlannerConfig(horizon=dataset.horizon,
                                    state_dim=dataset.state_dim,
                                    unet_input_dim=args.unet_dim,
@@ -137,15 +146,20 @@ def main() -> None:
         controller = ControllerService(planner, params, dataset.normalizer,
                                        default_n_samples=args.n_samples)
         if not args.no_warm:
-            # compile STAGE I + one control step on dummy inputs
-            print(json.dumps({"event": "warming", "shape": [n_obs, n_pts],
+            # compile STAGE I + one control step on dummy inputs. A
+            # pursuer-aware dataset carries the training pursuer as its
+            # last cloud row; requests send boxes only (the planner
+            # appends the live row), so warm at the boxes-only shape.
+            warm_obs = n_obs - 1 if args.pursuer_conditioned else n_obs
+            print(json.dumps({"event": "warming", "shape": [warm_obs, n_pts],
                               "n_samples": args.n_samples}), flush=True)
             import time as _time
             t0 = _time.perf_counter()
             sd = dataset.state_dim
             out = controller.begin(
-                [[[0.0, 0.0]] * n_pts] * n_obs, [0.0] * sd, [0.0] * sd,
-                seed=0)
+                [[[0.0, 0.0]] * n_pts] * warm_obs, [0.0] * sd, [0.0] * sd,
+                seed=0,
+                pursuer=([0.5, 0.5] if args.pursuer_conditioned else None))
             controller.step(out["episode_id"], [0.0, 0.0])
             controller.end(out["episode_id"])
             print(json.dumps({"event": "warm",
