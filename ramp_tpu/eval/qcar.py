@@ -133,9 +133,15 @@ def run_qcar_episode(planner, params, obstacle_pts, static_apf_pts,
     goal = jnp.asarray(context["goal"], jnp.float32)
     cfg = planner.config
 
+    conditioned = cfg.pursuer_conditioned
     state, high_plan = planner.begin_episode(
-        params, key, obstacle_pts, start, goal, n_samples=n_samples)
-    scene_latents = planner.encode_scene(params, obstacle_pts)
+        params, key, obstacle_pts, start, goal, n_samples=n_samples,
+        pursuer_init=(jnp.asarray(context["pursuer"], jnp.float32)
+                      if conditioned else None))
+    # the conditioning cloud tracks the pursuer per tick in conditioned
+    # mode, so the hoisted latent only applies unconditioned
+    scene_latents = (None if conditioned
+                     else planner.encode_scene(params, obstacle_pts))
 
     # face the first leg of the plan, standing still — a real run starts
     # the same way (the car is placed at the start pose by hand)

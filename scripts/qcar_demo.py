@@ -69,6 +69,11 @@ def main():
     p.add_argument("--cfg-weight", type=float, default=None)
     p.add_argument("--preset", default=None,
                    choices=["parity", "quality", "fast"])
+    p.add_argument("--pursuer-conditioned", action="store_true",
+                   help="condition the score model on the live pursuer "
+                        "cloud (weights from a --pursuer-aware dataset; "
+                        "the dataset's own pursuer row is dropped from "
+                        "the scene cloud)")
     args = p.parse_args()
 
     from ramp_tpu.utils.platform import enable_compilation_cache, set_platform
@@ -93,6 +98,10 @@ def main():
         overrides["cfg_weight"] = cfg_weight
     if ddim_steps_low is not None:
         overrides["ddim_steps_low"] = ddim_steps_low
+    if args.pursuer_conditioned:
+        # the encoder cloud below is rebuilt from box geometry (boxes
+        # only), so the planner's appended live-pursuer row is the +1 row
+        overrides["pursuer_conditioned"] = True
     cfg = DynamicPlannerConfig(horizon=dataset.horizon,
                                state_dim=dataset.state_dim,
                                unet_input_dim=args.unet_dim,
