@@ -212,3 +212,39 @@ def test_plan_service_compose():
 
     with pytest.raises(ValueError, match="two stacked obstacle sets"):
         svc.plan(_pts(), [0] * SD, [0] * SD)
+
+
+@pytest.mark.slow
+def test_controller_service_pursuer_conditioned():
+    """Pursuer-conditioned episode sessions: /episode/begin requires an
+    initial pursuer, the hoisted scene-latent cache is disabled, and
+    steps re-encode with the observed pursuer row."""
+    from ramp_tpu.planners.dynamic import DynamicPlanner, DynamicPlannerConfig
+    from ramp_tpu.serve import ControllerService
+
+    cfg = DynamicPlannerConfig(horizon=12, n_diffusion_steps=10,
+                               unet_input_dim=8, unet_dim_mults_option=0,
+                               ddim_steps_high=5, ddim_steps_low=2,
+                               points_per_obstacle=8, dtype="float32",
+                               pursuer_conditioned=True)
+    planner = DynamicPlanner(cfg)
+    params = planner.init_params(jax.random.PRNGKey(0), n_obstacles=5,
+                                 n_points=8)
+    ctrl = ControllerService(planner, params, LimitsNormalizer.fixed(4),
+                             default_n_samples=2)
+
+    pts = np.random.default_rng(2).uniform(-0.8, 0.8, (4, 8, 2))
+    with pytest.raises(ValueError, match="pursuer"):
+        ctrl.begin(pts, [-0.8, -0.8, 0, 0], [0.8, 0.8, 0, 0], seed=1)
+
+    out = ctrl.begin(pts, [-0.8, -0.8, 0, 0], [0.8, 0.8, 0, 0], seed=1,
+                     pursuer=[0.0, 0.8])
+    eid = out["episode_id"]
+    assert np.asarray(out["high_plan"]).shape == (12, 4)
+    # conditioned sessions carry no hoisted latent
+    assert ctrl._sessions[eid]["latents"] is None
+
+    s = ctrl.step(eid, [0.1, 0.7])
+    assert np.asarray(s["plan"]).shape == (12, 4)
+    assert s["step"] == 1
+    assert ctrl.end(eid) == {"ended": True}
