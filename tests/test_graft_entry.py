@@ -1,6 +1,7 @@
 """Driver-entry smoke tests: dryrun_multichip over the 8-device CPU mesh."""
 import sys
 import os
+import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
