@@ -310,7 +310,8 @@ def generate_dataset_predator(out_dir: str, n_tasks: int = 384,
                               points_per_obstacle: int = 64, seed: int = 0,
                               n_boxes: int = 4, pursuer_radius: float = 0.1,
                               pursuer_margin: float = 0.15,
-                              env_id: str = "EnvPredator") -> str:
+                              env_id: str = "EnvPredator",
+                              sweep_steps: int = 0) -> str:
     """Pursuer-aware EnvPredator dataset (static MPD layout + 1 extra row).
 
     The round-1 dynamic model was trained on A*-planned paths around the
@@ -328,13 +329,26 @@ def generate_dataset_predator(out_dir: str, n_tasks: int = 384,
 
     `n_boxes=8` + env_id="EnvPredatorObstacles" produces the obstacle-rich
     pursuit variant (ref deps/.../EnvPredatorExtra.py:13).
+
+    `sweep_steps=K` (round 3, predictive conditioning): each task's pursuer
+    additionally carries a random threat direction; the conditioning row
+    becomes a cloud SWEPT K pursuit-steps along that direction
+    (`generate_swept_sphere_points_np` — the inference twin sweeps toward
+    the live evader, `DynamicPlannerConfig.pursuer_sweep_steps`), and the
+    demonstrations are planned around the whole swept capsule. Training on
+    oriented capsules teaches the model to avoid where the pursuer is
+    HEADED, not just where it is.
     """
-    from ramp_tpu.scenes.pointclouds import generate_sphere_points_np
+    from ramp_tpu.scenes.pointclouds import (generate_sphere_points_np,
+                                             generate_swept_sphere_points_np)
+    from ramp_tpu.scenes.dynamics import PursuitParams
 
     rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)
     inflate = pursuer_radius + pursuer_margin
     box_range = (0.2, 0.35) if n_boxes <= 4 else (0.15, 0.3)
+    pp = PursuitParams()
+    step_len = pp.velocity_max / np.sqrt(2.0) * pp.dt
     from ramp_tpu.scenes.envs import _sample_boxes
     for task_id in range(n_tasks):
         task_dir = os.path.join(out_dir, str(task_id))
@@ -344,10 +358,25 @@ def generate_dataset_predator(out_dir: str, n_tasks: int = 384,
             pursuer = _sample_pursuer_position(centers, sizes, rng, inflate)
             if pursuer is not None:
                 break
+        sweep_vec = np.zeros(2, np.float32)
+        if sweep_steps > 0:
+            theta = rng.uniform(0, 2 * np.pi)
+            u = np.array([np.cos(theta), np.sin(theta)], np.float32)
+            # same closed form as pursuit_sweep_vector (pursuit component
+            # along the threat direction + the degenerate +y drift)
+            sweep_vec = (pp.pursuit_strength * u
+                         + pp.random_strength * np.array([0.0, 1.0])) \
+                * step_len * sweep_steps
         # plan around boxes + the inflated pursuer treated as a square box
-        centers_aug = np.concatenate([centers, pursuer[None]], axis=0)
+        # (with sweep: a chain of squares covering the swept capsule)
+        n_sweep_boxes = 1 if sweep_steps <= 0 else 3
+        fracs = np.linspace(0.0, 1.0, n_sweep_boxes)
+        centers_aug = np.concatenate(
+            [centers] + [pursuer[None] + f * sweep_vec[None] for f in fracs],
+            axis=0)
         sizes_aug = np.concatenate(
-            [sizes, np.full((1, 2), 2 * inflate, np.float32)], axis=0)
+            [sizes, np.full((n_sweep_boxes, 2), 2 * inflate, np.float32)],
+            axis=0)
         trajs = []
         attempts = 0
         while len(trajs) < n_trajs_per_task and \
@@ -380,10 +409,16 @@ def generate_dataset_predator(out_dir: str, n_tasks: int = 384,
 
         box_points = scene_obstacle_points_np(centers, sizes,
                                               points_per_obstacle, rng=rng)
-        pursuer_points = generate_sphere_points_np(
-            pursuer, pursuer_radius, points_per_obstacle, rng=rng)
+        if sweep_steps > 0:
+            pursuer_points = generate_swept_sphere_points_np(
+                pursuer, sweep_vec, pursuer_radius, points_per_obstacle,
+                rng=rng)
+        else:
+            pursuer_points = generate_sphere_points_np(
+                pursuer, pursuer_radius, points_per_obstacle, rng=rng)
         points = np.concatenate(
-            [box_points, pursuer_points[None].astype(np.float32)], axis=0)
+            [box_points, np.asarray(pursuer_points)[None].astype(np.float32)],
+            axis=0)
         np.save(os.path.join(task_dir, "trajs-free.npy"), trajs)
         np.save(os.path.join(task_dir, "obstacle_points.npy"),
                 points.astype(np.float32))
@@ -395,6 +430,8 @@ def generate_dataset_predator(out_dir: str, n_tasks: int = 384,
             "box_centers": np.asarray(centers).tolist(),
             "pursuer_center": pursuer.tolist(),
             "pursuer_radius": float(pursuer_radius),
+            "pursuer_sweep": np.asarray(sweep_vec).tolist(),
+            "pursuer_sweep_steps": int(sweep_steps),
             "horizon": horizon,
             "n_trajectories": int(trajs.shape[0]),
         }

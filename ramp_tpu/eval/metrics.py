@@ -113,11 +113,54 @@ def compute_collision_intensity_3d(trajs, box_centers, box_sizes,
     return inside.astype(jnp.float32).mean(axis=1)
 
 
+def compute_macro_path_length(trajs, stride: int = 4,
+                              pos_dim: int = 2) -> np.ndarray:
+    """[B, H, D] -> [B]; arc length of the stride-decimated path.
+
+    Decimation cancels per-waypoint jitter (APF passes displace individual
+    waypoints, inflating raw arc length without changing the route) while
+    preserving macroscopic excursions — a trajectory that actually wanders
+    across the domain stays long under any stride.
+    """
+    t = np.asarray(trajs)[:, :, :pos_dim]
+    dec = np.concatenate([t[:, ::stride], t[:, -1:]], axis=1)
+    return np.sqrt(((dec[:, 1:] - dec[:, :-1]) ** 2).sum(-1)).sum(-1)
+
+
+def path_sanity_mask(trajs, factor: float = 3.0, min_budget: float = 2.0,
+                     stride: int = 4, pos_dim: int = 2) -> np.ndarray:
+    """[B] bool: True where the macro path length is a sane multiple of the
+    trajectory's own start->goal straight-line distance.
+
+    Guard against the wander artifact class (round-2 post-mortems: the
+    broken 3-D DDIM chain and the 3-D compose-APF run both scored
+    near-perfect success with 6x-parity path lengths — collision-free
+    because they hug free space, not because they plan). The reference's
+    success metric (ref :84-126) has no such guard; this is a deliberate
+    deviation so "success" cannot be gamed by under-denoised samplers.
+    """
+    t = np.asarray(trajs)[:, :, :pos_dim]
+    macro = compute_macro_path_length(trajs, stride=stride, pos_dim=pos_dim)
+    straight = np.linalg.norm(t[:, -1] - t[:, 0], axis=-1)
+    return macro <= np.maximum(min_budget, factor * straight)
+
+
 def trajectory_success_and_metrics(trajs_final, collision_intensities,
-                                   threshold: float = 0.01) -> Dict:
-    """ref :84-126. Returns plain-python dict for the harness/JSON dump."""
+                                   threshold: float = 0.01,
+                                   path_gate: bool = True) -> Dict:
+    """ref :84-126. Returns plain-python dict for the harness/JSON dump.
+
+    Beyond-ref: with ``path_gate`` (default), a collision-free trajectory
+    only counts toward success if it passes `path_sanity_mask` — wandering
+    cannot score. ``n_wander_trajectories`` reports what the gate removed.
+    """
     ci = np.asarray(collision_intensities)
     successful = ci <= threshold
+    n_wander = 0
+    if path_gate and successful.any():
+        sane = path_sanity_mask(trajs_final)
+        n_wander = int((successful & ~sane).sum())
+        successful = successful & sane
     success = 1 if successful.any() else 0
     free_idx = np.where(successful)[0]
     trajs_final = np.asarray(trajs_final)
@@ -129,6 +172,7 @@ def trajectory_success_and_metrics(trajs_final, collision_intensities,
         "path_length_std": None,
         "waypoint_variance": None,
         "n_free_trajectories": int(len(trajs_free)),
+        "n_wander_trajectories": n_wander,
     }
     if len(trajs_free) > 0:
         pl = np.asarray(compute_path_length(trajs_free))

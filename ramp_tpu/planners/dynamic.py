@@ -53,8 +53,10 @@ from ramp_tpu.nn.unet import TemporalUnet, UNET_DIM_MULTS
 from ramp_tpu.sampler.energy import make_eps_fn
 from ramp_tpu.sampler.guidance_fold import (cfg_fold, guide_weights,
                                              guided_eps)
-from ramp_tpu.scenes.dynamics import PursuitParams, pursuit_step
-from ramp_tpu.scenes.pointclouds import generate_sphere_points
+from ramp_tpu.scenes.dynamics import (PursuitParams, pursuit_step,
+                                      pursuit_sweep_vector)
+from ramp_tpu.scenes.pointclouds import (generate_sphere_points,
+                                         generate_swept_sphere_points)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -92,6 +94,14 @@ class DynamicPlannerConfig:
     # on [O+1]-row clouds (`generate_dataset_predator`); the reference has
     # no equivalent (its U-Net sees static boxes only).
     pursuer_conditioned: bool = False
+    # Predictive sweep (round 3): when > 0, the conditioning row is a cloud
+    # swept along the pursuer's predicted K-step path toward the evader
+    # (`pursuit_sweep_vector` — closed-form rollout of the pursuit dynamics
+    # under a stationary evader) instead of a cloud at its current position,
+    # so the score model anticipates motion. Requires weights trained on
+    # swept rows (`generate_dataset_predator(sweep_steps=K)`). APF, cost
+    # selection and capture still use the TRUE current-position cloud.
+    pursuer_sweep_steps: int = 0
     pursuit: PursuitParams = PursuitParams()
     smoothing_dt: float = 0.1                # ref sm() :192
     smoothing_max_vel: float = 0.8
@@ -227,6 +237,21 @@ class DynamicPlanner:
             pts = jnp.concatenate([obstacle_pts, row[None]], axis=0)
         latents = self.encoder.apply(params["encoder"], pts[None])
         return cfg_fold(latents[0], guide_w)
+
+    def _cond_cloud(self, key, pursuer, target):
+        """Cloud for the conditioning row: swept along the predicted
+        pursuit path toward `target` when pursuer_sweep_steps > 0, else the
+        plain current-position cloud (bitwise-identical RNG to the
+        pre-sweep code path when the feature is off)."""
+        cfg = self.config
+        r = jnp.asarray(cfg.pursuer_radius)
+        if cfg.pursuer_sweep_steps > 0:
+            sweep = pursuit_sweep_vector(pursuer, target,
+                                         cfg.pursuer_sweep_steps, cfg.pursuit)
+            return generate_swept_sphere_points(key, pursuer, sweep, r,
+                                                cfg.points_per_obstacle)
+        return generate_sphere_points(key, pursuer, r,
+                                      cfg.points_per_obstacle)
 
     # ------------------------------------------------------------- internals
     def _ddim_step(self, params, fold, x, t_scalar, endpoints):
@@ -421,9 +446,7 @@ class DynamicPlanner:
         h, d = cfg.horizon, cfg.state_dim
         if cfg.pursuer_conditioned:
             key, k_p0 = jax.random.split(key)
-            p_pts0 = generate_sphere_points(
-                k_p0, pursuer_init, jnp.asarray(cfg.pursuer_radius),
-                cfg.points_per_obstacle)
+            p_pts0 = self._cond_cloud(k_p0, pursuer_init, start[:2])
             fold = self._cond_fold(params, obstacle_pts, guide_w, p_pts0)
         else:
             latents = self.encoder.apply(params["encoder"], obstacle_pts[None])
@@ -482,9 +505,16 @@ class DynamicPlanner:
             pursuer_pts = generate_sphere_points(
                 k_pts, pursuer, jnp.asarray(cfg.pursuer_radius),
                 cfg.points_per_obstacle)
-            fold_t = (self._cond_fold(params, obstacle_pts, guide_w,
-                                      pursuer_pts)
-                      if cfg.pursuer_conditioned else fold)
+            if cfg.pursuer_conditioned and cfg.pursuer_sweep_steps > 0:
+                key, k_sw = jax.random.split(key)
+                fold_t = self._cond_fold(
+                    params, obstacle_pts, guide_w,
+                    self._cond_cloud(k_sw, pursuer, evader_now))
+            elif cfg.pursuer_conditioned:
+                fold_t = self._cond_fold(params, obstacle_pts, guide_w,
+                                         pursuer_pts)
+            else:
+                fold_t = fold
 
             # re-noise the selected plan to replan_step (ref :283-285)
             x = jnp.broadcast_to(carry.x_best[None], (n_samples, h, d))
@@ -605,9 +635,7 @@ class DynamicPlanner:
         h, d = cfg.horizon, cfg.state_dim
         if cfg.pursuer_conditioned:
             key, k_p0 = jax.random.split(key)
-            p_pts0 = generate_sphere_points(
-                k_p0, pursuer_init, jnp.asarray(cfg.pursuer_radius),
-                cfg.points_per_obstacle)
+            p_pts0 = self._cond_cloud(k_p0, pursuer_init, start[:2])
             fold = self._cond_fold(params, obstacle_pts, guide_w, p_pts0)
         else:
             latents = self.encoder.apply(params["encoder"], obstacle_pts[None])
@@ -658,9 +686,16 @@ class DynamicPlanner:
             pursuer_pts = generate_sphere_points(
                 k_pts, pursuer, jnp.asarray(cfgc.pursuer_radius),
                 cfgc.points_per_obstacle)
-            fold_t = (self._cond_fold(params, obstacle_pts, guide_w,
-                                      pursuer_pts)
-                      if cfgc.pursuer_conditioned else fold)
+            if cfgc.pursuer_conditioned and cfgc.pursuer_sweep_steps > 0:
+                key, k_sw = jax.random.split(key)
+                fold_t = self._cond_fold(
+                    params, obstacle_pts, guide_w,
+                    self._cond_cloud(k_sw, pursuer, evader_now))
+            elif cfgc.pursuer_conditioned:
+                fold_t = self._cond_fold(params, obstacle_pts, guide_w,
+                                         pursuer_pts)
+            else:
+                fold_t = fold
 
             x_sel, new_history, cur_state, next_state, reached = \
                 self._stage2_core(params, fold_t, carry.x_best, carry.history,
@@ -748,9 +783,7 @@ class DynamicPlanner:
         h, d = cfg.horizon, cfg.state_dim
         if cfg.pursuer_conditioned:
             key, k_p0 = jax.random.split(key)
-            p_pts0 = generate_sphere_points(
-                k_p0, pursuer_init, jnp.asarray(cfg.pursuer_radius),
-                cfg.points_per_obstacle)
+            p_pts0 = self._cond_cloud(k_p0, pursuer_init, start[:2])
             fold = self._cond_fold(params, obstacle_pts, guide_w, p_pts0)
         else:
             latents = self.encoder.apply(params["encoder"], obstacle_pts[None])
@@ -805,9 +838,16 @@ class DynamicPlanner:
             pursuer_pts = generate_sphere_points(
                 k_pts, pursuer_obs, jnp.asarray(cfg.pursuer_radius),
                 cfg.points_per_obstacle)
-            fold_t = (self._cond_fold(params, obstacle_pts, guide_w,
-                                      pursuer_pts)
-                      if cfg.pursuer_conditioned else fold)
+            if cfg.pursuer_conditioned and cfg.pursuer_sweep_steps > 0:
+                key, k_sw = jax.random.split(key)
+                fold_t = self._cond_fold(
+                    params, obstacle_pts, guide_w,
+                    self._cond_cloud(k_sw, pursuer_obs, carry.car.pose))
+            elif cfg.pursuer_conditioned:
+                fold_t = self._cond_fold(params, obstacle_pts, guide_w,
+                                         pursuer_pts)
+            else:
+                fold_t = fold
             x_sel, new_history, _cur, next_state, reached = \
                 self._stage2_core(params, fold_t, carry.x_best, carry.history,
                                   carry.h_count, carry.step, k_refine,
@@ -955,9 +995,7 @@ class DynamicPlanner:
                 h, d = cfg.horizon, cfg.state_dim
                 if cfg.pursuer_conditioned:
                     key, k_p0 = jax.random.split(key)
-                    p_pts0 = generate_sphere_points(
-                        k_p0, pursuer_init, jnp.asarray(cfg.pursuer_radius),
-                        cfg.points_per_obstacle)
+                    p_pts0 = self._cond_cloud(k_p0, pursuer_init, start[:2])
                     fold = self._cond_fold(params, obstacle_pts, guide_w,
                                            p_pts0)
                 else:
@@ -1028,7 +1066,15 @@ class DynamicPlanner:
                 pursuer_pts = generate_sphere_points(
                     k_pts, pursuer_center, jnp.asarray(cfg.pursuer_radius),
                     cfg.points_per_obstacle)
-                if cfg.pursuer_conditioned:
+                if cfg.pursuer_conditioned and cfg.pursuer_sweep_steps > 0:
+                    key, k_sw = jax.random.split(key)
+                    row = jnp.clip(stepp, 0, cfg.horizon - 1)
+                    evader_now = jax.lax.dynamic_slice(
+                        state.x_best, (row, 0), (1, cfg.state_dim))[0, :2]
+                    fold = self._cond_fold(
+                        params, obstacle_pts, guide_w,
+                        self._cond_cloud(k_sw, pursuer_center, evader_now))
+                elif cfg.pursuer_conditioned:
                     # the conditioning cloud changes with the observation, so
                     # a hoisted scene latent cannot be used
                     fold = self._cond_fold(params, obstacle_pts, guide_w,

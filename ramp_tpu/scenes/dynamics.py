@@ -52,3 +52,28 @@ def pursuit_step(t: jax.Array, pursuer: jax.Array, evader: jax.Array,
     velocity = params.velocity_max / jnp.sqrt(2.0)
     new = pursuer + direction * velocity * params.dt
     return jnp.clip(new, -1.0, 1.0)
+
+
+def pursuit_sweep_vector(pursuer: jax.Array, target: jax.Array, n_steps: int,
+                         params: PursuitParams = PursuitParams()) -> jax.Array:
+    """Closed-form K-step rollout of `pursuit_step` under a stationary
+    target: [2] total predicted displacement.
+
+    Per step the pursuer moves (ps*unit(target-pursuer) + rs*yhat) * v/sqrt2
+    * dt (the "random" term is the degenerate +y drift — see pursuit_step).
+    For a stationary target the unit vector is constant until arrival, so K
+    steps sweep a straight segment; the pursuit component is capped at the
+    current distance so the sweep never extends past the target. This is the
+    prediction the swept conditioning cloud encodes (beyond-ref: the
+    reference model is blind to the pursuer entirely,
+    ref diffusion_model_dynamic.py:594-598 only reacts via APF).
+    """
+    delta = target - pursuer
+    dist = jnp.linalg.norm(delta)
+    u = jnp.where(dist > 0, delta / jnp.where(dist > 0, dist, 1.0), delta)
+    step_len = params.velocity_max / jnp.sqrt(2.0) * params.dt
+    pursuit_len = jnp.minimum(n_steps * step_len * params.pursuit_strength,
+                              dist)
+    drift = (params.random_strength * n_steps * step_len
+             * jnp.asarray([0.0, 1.0]))
+    return u * pursuit_len + drift

@@ -114,6 +114,37 @@ def generate_sphere_points(key: jax.Array, center: jax.Array, radius: jax.Array,
     return pts + center[None, :]
 
 
+def generate_swept_sphere_points(key: jax.Array, center: jax.Array,
+                                 sweep_vec: jax.Array, radius: jax.Array,
+                                 num_points: int,
+                                 surface_ratio: float = 0.9) -> jax.Array:
+    """Pursuer cloud distributed along the predicted sweep segment.
+
+    The capsule [center, center + sweep_vec] (+ radius): each point of the
+    ordinary sphere cloud slides along the segment by a uniform fraction, so
+    the row encodes WHERE THE PURSUER IS HEADED, not just where it is.
+    Same [num_points, 2] layout as `generate_sphere_points` — drop-in for
+    the conditioning row. sweep_vec = 0 reduces to the plain cloud.
+    """
+    k_base, k_frac = jax.random.split(key)
+    base = generate_sphere_points(k_base, jnp.zeros(2, jnp.float32), radius,
+                                  num_points, surface_ratio)
+    frac = jax.random.uniform(k_frac, (num_points, 1))
+    return base + center[None, :] + frac * sweep_vec[None, :]
+
+
+def generate_swept_sphere_points_np(center, sweep_vec, radius, num_points,
+                                    surface_ratio=0.9,
+                                    rng: np.random.Generator | None = None):
+    """Host twin of `generate_swept_sphere_points` (dataset generation)."""
+    rng = rng or np.random.default_rng()
+    base = generate_sphere_points_np(np.zeros(2), radius, num_points,
+                                     surface_ratio, rng=rng)
+    frac = rng.uniform(0, 1, (num_points, 1))
+    return (base + np.asarray(center)[None, :]
+            + frac * np.asarray(sweep_vec)[None, :]).astype(np.float32)
+
+
 def generate_box_points(key: jax.Array, center: jax.Array, size: jax.Array,
                         num_points: int, boundary_frac: float = 0.6) -> jax.Array:
     """Device-side box cloud with a fixed boundary fraction (static shapes).

@@ -35,6 +35,11 @@ def main():
                         "around an inflated pursuer disc and append the "
                         "pursuer sphere cloud as one extra obstacle row "
                         "(for DynamicPlannerConfig.pursuer_conditioned)")
+    p.add_argument("--sweep-steps", type=int, default=0,
+                   help="with --pursuer-aware: sweep the pursuer row K "
+                        "predicted pursuit-steps along a random threat "
+                        "direction (predictive conditioning; see "
+                        "DynamicPlannerConfig.pursuer_sweep_steps)")
     args = p.parse_args()
     if args.pursuer_aware or args.env == "EnvPredatorObstacles":
         from ramp_tpu.data.generator import generate_dataset_predator
@@ -45,7 +50,7 @@ def main():
             n_trajs_per_task=args.n_trajs, horizon=args.horizon,
             points_per_obstacle=args.points_per_obstacle, seed=args.seed,
             n_boxes=8 if args.env == "EnvPredatorObstacles" else 4,
-            env_id=args.env)
+            env_id=args.env, sweep_steps=args.sweep_steps)
         print(f"wrote dataset to {out}")
         return
     if args.env == "EnvSmall3D":

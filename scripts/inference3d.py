@@ -68,6 +68,11 @@ def main():
     p.add_argument("--ddim-steps", type=int, default=None,
                    help="DDIM step count (implies --ddim; default: the "
                         "reference's T//5)")
+    p.add_argument("--compose-weights", type=float, nargs=2, default=None,
+                   metavar=("W1", "W2"),
+                   help="asymmetric energy-composition weights (default: "
+                        "tied to --cfg-weight; ref diffusion_model_3d.py"
+                        ":169-170 uses w1=w2=5)")
     p.add_argument("--resample-steps", type=int, default=None,
                    help="repeat each DDPM denoise step N times, re-noising "
                         "between repeats (the reference's ship-disabled "
@@ -99,6 +104,8 @@ def main():
     if cfg_weight is not None:
         overrides["cfg_weight"] = cfg_weight
         overrides["compose_weights"] = (cfg_weight, cfg_weight)
+    if args.compose_weights is not None:
+        overrides["compose_weights"] = tuple(args.compose_weights)
     if use_ddim:
         overrides["use_ddim"] = True
     if args.ddim_steps is not None:
@@ -131,7 +138,8 @@ def main():
              if compose else None)
 
     from ramp_tpu.eval.metrics import (compute_collision_intensity_3d,
-                                       compute_path_length_3d)
+                                       compute_path_length_3d,
+                                       path_sanity_mask)
 
     def scene_geometry(task_id: int, traj_idx: int):
         """Per-task box+sphere geometry; in compose mode a plan must clear
@@ -221,16 +229,24 @@ def main():
             oob = (np.abs(np.asarray(x)[:, :, :3]) > 1.05).any(axis=-1)
             ci = np.asarray(compute_collision_intensity_3d(
                 trajs, box_c, box_s, sph_c, sph_r, invalid_mask=oob))
-            free = ci <= 0.01
+            # path-sanity gate (round 3): a collision-free plan only counts
+            # if it doesn't wander — the compose-APF probe scored 0.983 with
+            # 6x-parity path lengths before this gate (RESULTS.md)
+            sane = path_sanity_mask(trajs, pos_dim=3)
+            free = (ci <= 0.01) & sane
+            n_wander = int(((ci <= 0.01) & ~sane).sum())
             pl = (np.asarray(compute_path_length_3d(trajs[free]))
                   if free.any() else None)
+            g_un = np.asarray(dataset.normalizer.unnormalize(goal))[:3]
+            s_un = np.asarray(dataset.normalizer.unnormalize(start))[:3]
             row = {"t_sampling_s": t.elapsed,
-                   "goal_error": float(np.linalg.norm(
-                       trajs[0, -1, :3] - np.asarray(
-                           dataset.normalizer.unnormalize(goal))[:3])),
+                   "start": [float(v) for v in s_un],
+                   "goal": [float(v) for v in g_un],
+                   "goal_error": float(np.linalg.norm(trajs[0, -1, :3] - g_un)),
                    "collision_intensity_pct": float(ci.mean() * 100),
                    "success": int(free.any()),
                    "n_free_trajectories": int(free.sum()),
+                   "n_wander_trajectories": n_wander,
                    "path_length_mean": (float(pl.mean())
                                         if pl is not None else None)}
             ctx_rows.append(row)
@@ -255,6 +271,8 @@ def main():
         "path_length_mean": float(np.mean(pls)) if pls else None,
         "n_free_trajectories": int(np.sum(
             [r["n_free_trajectories"] for r in rows])),
+        "n_wander_trajectories": int(np.sum(
+            [r["n_wander_trajectories"] for r in rows])),
         # every timed cell is warm (untimed warmup call above), so the p50
         # runs over all rows
         "t_sampling_p50_s": float(np.median(

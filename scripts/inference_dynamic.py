@@ -55,6 +55,11 @@ def main():
                         "a --pursuer-aware dataset). The dataset's own "
                         "pursuer row, if present, is dropped from the "
                         "static scene — the planner appends the live one.")
+    p.add_argument("--pursuer-sweep-steps", type=int, default=None,
+                   help="with --pursuer-conditioned: the conditioning row "
+                        "is swept K predicted pursuit-steps toward the "
+                        "evader (requires weights trained with "
+                        "generate_dataset_predator(sweep_steps=K))")
     args = p.parse_args()
 
     from ramp_tpu.utils.platform import enable_compilation_cache, set_platform
@@ -74,6 +79,8 @@ def main():
         overrides["ddim_steps_low"] = ddim_steps_low
     if args.pursuer_conditioned:
         overrides["pursuer_conditioned"] = True
+    if args.pursuer_sweep_steps is not None:
+        overrides["pursuer_sweep_steps"] = args.pursuer_sweep_steps
     cfg = DynamicPlannerConfig(horizon=dataset.horizon,
                                state_dim=dataset.state_dim,
                                unet_input_dim=args.unet_dim,

@@ -192,3 +192,46 @@ def test_sample_free_point_3d_avoids_geometry():
     with pytest.raises(RuntimeError):
         sample_free_scene_point_3d(rng, np.asarray([[0.0, 0.0, 0.0]]),
                              np.asarray([[4.0, 4.0, 4.0]]), max_tries=50)
+
+
+# ---------------------------------------------------- path-sanity gate (r3)
+
+def _traj(points, h=64):
+    """Piecewise-linear [h, 2] trajectory through the given xy points."""
+    pts = np.asarray(points, np.float32)
+    seg = np.linalg.norm(np.diff(pts, axis=0), axis=-1)
+    cum = np.concatenate([[0], np.cumsum(seg)])
+    s = np.linspace(0, cum[-1], h)
+    out = np.stack([np.interp(s, cum, pts[:, i]) for i in range(2)], axis=-1)
+    return out
+
+
+def test_path_sanity_direct_and_jittered_pass():
+    from ramp_tpu.eval.metrics import path_sanity_mask
+    direct = _traj([[-0.8, -0.8], [0.8, 0.8]])
+    rng = np.random.default_rng(0)
+    jittered = direct + rng.normal(scale=0.04, size=direct.shape)
+    # per-waypoint jitter inflates raw arc length (~64 * 0.04 extra) but the
+    # decimated macro length stays near the route length -> must pass
+    trajs = np.stack([direct, jittered])
+    assert path_sanity_mask(trajs).all()
+
+
+def test_path_sanity_wander_fails():
+    from ramp_tpu.eval.metrics import path_sanity_mask, \
+        trajectory_success_and_metrics
+    # a wandering sweep across the domain: collision-free but 6x+ the
+    # straight-line distance even after decimation (the compose-APF /
+    # broken-DDIM artifact shape)
+    wander = _traj([[-0.8, -0.8], [0.8, -0.6], [-0.8, -0.2], [0.8, 0.2],
+                    [-0.8, 0.6], [0.8, 0.8]])
+    direct = _traj([[-0.8, -0.8], [0.8, 0.8]])
+    mask = path_sanity_mask(np.stack([wander, direct]))
+    assert not mask[0] and mask[1]
+    # success must be gated: all-wander population scores 0
+    m = trajectory_success_and_metrics(wander[None], np.zeros(1))
+    assert m["success"] == 0 and m["n_wander_trajectories"] == 1
+    # with the gate off (reference-parity mode) it scores 1
+    m = trajectory_success_and_metrics(wander[None], np.zeros(1),
+                                       path_gate=False)
+    assert m["success"] == 1

@@ -412,3 +412,39 @@ def test_controller_api_replays_episode():
         if bool(reached):
             break
     assert np.isfinite(np.asarray(state.x_best)).all()
+
+
+@pytest.mark.slow
+def test_dynamic_planner_pursuer_sweep_conditioned():
+    """pursuer_sweep_steps > 0: the conditioning row is swept along the
+    predicted pursuit path (round 3). The episode must run end-to-end, and
+    the swept fold must differ from the unswept one (same weights/key)."""
+    kwargs = dict(horizon=12, n_diffusion_steps=10, unet_input_dim=8,
+                  unet_dim_mults_option=0, ddim_steps_high=5,
+                  ddim_steps_low=2, max_iterations=3, points_per_obstacle=8,
+                  dtype="float32")
+    p_sw = DynamicPlanner(DynamicPlannerConfig(
+        pursuer_conditioned=True, pursuer_sweep_steps=8, **kwargs))
+    p_pc = DynamicPlanner(DynamicPlannerConfig(
+        pursuer_conditioned=True, **kwargs))
+    params = p_sw.init_params(jax.random.PRNGKey(0), n_obstacles=5,
+                              n_points=8)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    ks = jax.random.split(jax.random.PRNGKey(42), len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        treedef, [l + 0.02 * jax.random.normal(k, l.shape, l.dtype)
+                  for l, k in zip(leaves, ks)])
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (4, 8, 2),
+                             minval=-0.8, maxval=0.8)
+    apf_pts = pts.reshape(-1, 2)
+    start = jnp.asarray([-0.8, -0.8, 0.0, 0.0])
+    goal = jnp.asarray([0.8, 0.8, 0.0, 0.0])
+    pursuer = jnp.asarray([0.0, 0.8])
+    res = p_sw.run_episode(params, jax.random.PRNGKey(2), pts, apf_pts,
+                           start, goal, pursuer, n_samples=3)
+    assert res.plans.shape == (3, 12, 4)
+    assert np.isfinite(np.asarray(res.plans)).all()
+    base = p_pc.run_episode(params, jax.random.PRNGKey(2), pts, apf_pts,
+                            start, goal, pursuer, n_samples=3)
+    assert not np.allclose(np.asarray(res.high_plan),
+                           np.asarray(base.high_plan))

@@ -153,3 +153,54 @@ def test_occupancy_grid_lookup_and_cost():
                        jnp.full((4, 2), 0.9)])          # all free
     cost = occupancy_collision_cost(g, trajs)
     assert cost.tolist() == [4.0, 0.0]
+
+
+def test_pursuit_sweep_vector_matches_rollout():
+    """The closed-form sweep ~ the actual K-step rollout (stationary
+    evader, far target so the distance cap is inactive)."""
+    from ramp_tpu.scenes.dynamics import pursuit_sweep_vector
+    pp = PursuitParams()
+    pursuer = jnp.asarray([-0.5, -0.5])
+    evader = jnp.asarray([0.7, 0.4])
+    k, p = 6, pursuer
+    for t in range(k):
+        p = pursuit_step(jnp.asarray(t), p, evader, pp)
+    sweep = pursuit_sweep_vector(pursuer, evader, k, pp)
+    # rollout direction bends slightly as the pursuer closes; the straight
+    # sweep should still land within a step-length of it
+    step_len = pp.velocity_max / np.sqrt(2.0) * pp.dt
+    assert float(jnp.linalg.norm((pursuer + sweep) - p)) < 1.5 * step_len
+
+
+def test_pursuit_sweep_vector_caps_at_target():
+    from ramp_tpu.scenes.dynamics import pursuit_sweep_vector
+    pp = PursuitParams()
+    pursuer = jnp.asarray([0.0, 0.0])
+    evader = jnp.asarray([0.05, 0.0])  # very close
+    sweep = pursuit_sweep_vector(pursuer, evader, 50, pp)
+    # pursuit component capped at the distance; only the +y drift remains
+    assert float(sweep[0]) <= 0.05 + 1e-6
+
+
+def test_swept_sphere_points_cover_segment():
+    from ramp_tpu.scenes.pointclouds import (generate_swept_sphere_points,
+                                             generate_swept_sphere_points_np)
+    import jax
+    center = jnp.asarray([-0.2, 0.1])
+    sweep = jnp.asarray([0.4, 0.0])
+    r = 0.1
+    pts = generate_swept_sphere_points(jax.random.PRNGKey(0), center, sweep,
+                                       jnp.asarray(r), 64)
+    assert pts.shape == (64, 2)
+    # all points inside the capsule bounding box
+    assert float(pts[:, 0].min()) >= -0.2 - r - 1e-5
+    assert float(pts[:, 0].max()) <= 0.2 + r + 1e-5
+    # the sweep actually spreads points along x beyond one sphere
+    assert float(pts[:, 0].max() - pts[:, 0].min()) > 2 * r + 0.1
+    pts_np = generate_swept_sphere_points_np([-0.2, 0.1], [0.4, 0.0], r, 64)
+    assert pts_np.shape == (64, 2)
+    assert pts_np[:, 0].max() - pts_np[:, 0].min() > 2 * r + 0.1
+    # zero sweep reduces to the plain cloud bounding box
+    pts0 = generate_swept_sphere_points(jax.random.PRNGKey(0), center,
+                                        jnp.zeros(2), jnp.asarray(r), 64)
+    assert float(jnp.abs(pts0 - center[None]).max()) <= r + 1e-5
