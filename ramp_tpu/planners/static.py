@@ -61,6 +61,9 @@ class StaticPlannerConfig:
     apf: APFParams = APFParams()           # thr=0.07, strength=0.1, window=7, 3 iters
     dtype: str = "bfloat16"
     attn_impl: str = "default"             # self-attn lowering: default or bnhd
+    eps_remat: bool = False                # jax.checkpoint the energy grad
+                                           # (FLOPs-for-HBM trade; see
+                                           # sampler/energy.py make_eps_fn)
     # Beyond-parity tuning knob: None keeps the reference step counts.
     ddim_steps_override: Optional[int] = None
 
@@ -88,7 +91,8 @@ class StaticPlanner:
         )
         self.encoder = ObstacleEncoderSet2D(dtype=dtype)
         self.schedule = make_schedule(config.variance_schedule, config.n_diffusion_steps)
-        self._eps_fn = make_eps_fn(self.unet.apply, config.energy_mode)
+        self._eps_fn = make_eps_fn(self.unet.apply, config.energy_mode,
+                                   remat=config.eps_remat)
         self._plan_jit = {}
 
     # ------------------------------------------------------------------ init

@@ -28,17 +28,28 @@ def make_energy_fn(apply_fn: Callable) -> Callable:
     return energy
 
 
-def make_eps_fn(apply_fn: Callable, energy_mode: bool = True) -> Callable:
+def make_eps_fn(apply_fn: Callable, energy_mode: bool = True,
+                remat: bool = False) -> Callable:
     """eps(params, x, t, scene_latents) -> [B, H, D].
 
     energy_mode=True is what the reference runs everywhere
     (`diffusion_model_static.py:44`, `UnetInference.py:61`). With
     energy_mode=False the raw network output is the score (kept for parity
     with the reference's `forward_no_energy` path).
+
+    remat=True wraps the energy in `jax.checkpoint`: the backward pass
+    recomputes the U-Net forward instead of reading stored activations —
+    ~1.5x the FLOPs for ~half the HBM traffic. A tuning knob for the
+    round-3 roofline attack (the replan runs at 4.9% of peak FLOPs but 35%
+    of peak HBM, so trading compute for bandwidth is the right direction
+    iff the live kernels are bandwidth-bound; measure with
+    `scripts/profile_static.py`).
     """
     if not energy_mode:
         return apply_fn
     energy = make_energy_fn(apply_fn)
+    if remat:
+        energy = jax.checkpoint(energy)
     return jax.grad(energy, argnums=1)
 
 
