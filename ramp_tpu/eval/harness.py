@@ -204,6 +204,13 @@ class StaticEvalHarness:
             "waypoint_variance_mean": float(np.mean(all_wv)) if all_wv else None,
             "t_sampling_mean_s": float(np.mean(all_t)) if all_t else None,
             "t_sampling_p50_s": float(np.median(all_t)) if all_t else None,
+            # round-3 path-sanity gate: how many collision-free samples the
+            # gate excluded as wander (0 for honest configs; nonzero values
+            # mean "success" would have been inflated without the gate)
+            "n_wander_trajectories": int(np.sum(
+                [r.get("n_wander_trajectories", 0)
+                 for env in results["per_env"].values()
+                 for r in env["contexts"]])),
             "n_envs": len(task_ids),
             "n_contexts": n_contexts,
             "n_samples": n_samples,
