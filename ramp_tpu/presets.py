@@ -10,7 +10,17 @@ below are REAL-CHIP numbers; preset-deciding rows are full paper-scale
 grids (small probe grids repeatedly misled — see the dynamic w=3.5 and
 3-D DDIM-5 post-mortems in RESULTS.md):
 
-    static  (full 96 scenes x 20 contexts x 20 samples, plain success)
+    PRESETS ARE PER-WEIGHTS (round-3 finding): the static rows below
+    were swept on the 96-scene `simple2d_v2` weights, where strong CFG
+    compensates for an under-data'd model (+12.9 points).  On the
+    flagship `simple2d_v4_300k` (768 scenes, 300k steps) the SAME knobs
+    LOSE: parity 0.985 vs d4w5 0.979 (+2.5 collision points,
+    `eval_results_static_v4_300k{,_d4w5}.json`) — for those weights use
+    parity sampling (no --preset).  Re-sweep before trusting a preset
+    on new weights.
+
+    static  (full 96 scenes x 20 contexts x 20 samples, plain success,
+             simple2d_v2 weights)
       parity   DDIM-5, w=2   0.742   (the reference configuration,
                                       `eval_results_static.json`)
       quality  DDIM-4, w=5   0.871   (best measured full-grid success;
