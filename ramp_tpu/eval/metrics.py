@@ -24,7 +24,14 @@ import numpy as np
 
 
 def compute_path_length(trajs) -> jnp.ndarray:
-    """[B, H, D] -> [B]; xy arc length (ref :32-45)."""
+    """[B, H, D] -> [B]; xy arc length (ref :32-45).
+
+    numpy in -> numpy math (host eval path; see
+    compute_collision_intensity), jnp otherwise.
+    """
+    if isinstance(trajs, np.ndarray):
+        diffs = trajs[:, 1:, :2] - trajs[:, :-1, :2]
+        return np.sqrt((diffs ** 2).sum(-1)).sum(-1)
     trajs = jnp.asarray(trajs)
     pos = trajs[..., :2]
     diffs = pos[:, 1:] - pos[:, :-1]
@@ -45,9 +52,14 @@ def compute_variance_waypoints(trajs, eps: float = 1e-8) -> jnp.ndarray:
     pairwise distances between samples — including, as in the reference, the
     zero entries of the lower triangle+diagonal that `.view(-1)` keeps.
     """
+    if isinstance(trajs, np.ndarray):
+        pos = trajs[..., :2]
+        via = pos.transpose(1, 0, 2)  # [H, B, 2]
+        d = np.linalg.norm(via[:, :, None, :] - via[:, None, :, :], axis=-1)
+        triu = np.triu(d, k=1).reshape(d.shape[0], -1) + eps
+        return np.var(triu, axis=-1, ddof=1).sum()
     trajs = jnp.asarray(trajs)
     pos = trajs[..., :2]
-    b = pos.shape[0]
     via = pos.transpose(1, 0, 2)  # [H, B, 2]
     d = jnp.linalg.norm(via[:, :, None, :] - via[:, None, :, :], axis=-1)  # [H,B,B]
     triu = jnp.triu(d, k=1).reshape(d.shape[0], -1) + eps
@@ -56,7 +68,24 @@ def compute_variance_waypoints(trajs, eps: float = 1e-8) -> jnp.ndarray:
 
 
 def compute_collision_intensity(trajs, box_centers, box_sizes) -> jnp.ndarray:
-    """[B] fraction of waypoints inside any box (ref :48-82)."""
+    """[B] fraction of waypoints inside any box (ref :48-82).
+
+    numpy in -> numpy math: the eval harnesses call this per cell on HOST
+    arrays, and eager jnp ops each pay a device dispatch (on the tunneled
+    runtime ~27 ms apiece — round-3 measured full-grid evals 2.5x slower
+    than the plan calls themselves). jnp in -> jnp math, so jitted callers
+    are unaffected.
+    """
+    if isinstance(trajs, np.ndarray):
+        box_centers = np.asarray(box_centers, np.float32)
+        box_sizes = np.asarray(box_sizes, np.float32)
+        if box_sizes.ndim == 1:
+            box_sizes = np.repeat(box_sizes[:, None], 2, axis=-1)
+        xy = trajs[:, :, None, :2]
+        lower = (box_centers - box_sizes / 2)[None, None]
+        upper = (box_centers + box_sizes / 2)[None, None]
+        inside = np.all((xy >= lower) & (xy <= upper), axis=-1)
+        return inside.any(axis=-1).astype(np.float32).mean(axis=1)
     trajs = jnp.asarray(trajs)
     box_centers = jnp.asarray(box_centers, jnp.float32)
     box_sizes = jnp.asarray(box_sizes, jnp.float32)
@@ -70,7 +99,11 @@ def compute_collision_intensity(trajs, box_centers, box_sizes) -> jnp.ndarray:
 
 
 def compute_path_length_3d(trajs) -> jnp.ndarray:
-    """[B, H, D>=3] -> [B]; xyz arc length (3-D analog of ref :32-45)."""
+    """[B, H, D>=3] -> [B]; xyz arc length (3-D analog of ref :32-45).
+    numpy in -> numpy math (host eval path)."""
+    if isinstance(trajs, np.ndarray):
+        diffs = trajs[:, 1:, :3] - trajs[:, :-1, :3]
+        return np.sqrt((diffs ** 2).sum(-1)).sum(-1)
     trajs = jnp.asarray(trajs)
     diffs = trajs[:, 1:, :3] - trajs[:, :-1, :3]
     return jnp.sqrt((diffs ** 2).sum(-1)).sum(-1)
@@ -93,7 +126,26 @@ def compute_collision_intensity_3d(trajs, box_centers, box_sizes,
     output clips to the (obstacle-free) workspace boundary scores a perfect
     collision intensity (this is exactly how the reference's broken dormant
     3-D DDIM path gamed the metric; see ddim_sample_chain_3d).
+
+    numpy in -> numpy math (host eval path; see compute_collision_intensity).
     """
+    if isinstance(trajs, np.ndarray):
+        pos = trajs[:, :, None, :3]
+        box_centers = np.asarray(box_centers, np.float32)
+        box_sizes = np.asarray(box_sizes, np.float32)
+        if box_sizes.ndim == 1:
+            box_sizes = np.repeat(box_sizes[:, None], 3, axis=-1)
+        lower = (box_centers - box_sizes / 2)[None, None]
+        upper = (box_centers + box_sizes / 2)[None, None]
+        inside = np.all((pos >= lower) & (pos <= upper), axis=-1).any(axis=-1)
+        if sphere_centers is not None and np.size(sphere_centers):
+            sc = np.asarray(sphere_centers, np.float32)[None, None]
+            sr = np.asarray(sphere_radii, np.float32).reshape(-1)[None, None]
+            d = np.linalg.norm(pos - sc, axis=-1)
+            inside = inside | (d <= sr).any(axis=-1)
+        if invalid_mask is not None:
+            inside = inside | np.asarray(invalid_mask, bool)
+        return inside.astype(np.float32).mean(axis=1)
     trajs = jnp.asarray(trajs)
     pos = trajs[:, :, None, :3]
     box_centers = jnp.asarray(box_centers, jnp.float32)
