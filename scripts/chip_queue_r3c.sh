@@ -73,6 +73,21 @@ if [ ! -f artifacts/bench_serve.json ]; then
       > logs/bench_serve.out 2>&1 || echo "BENCH SERVE FAILED"
 fi
 
+if [ ! -d logs/prof_r3 ]; then
+  log "per-kernel profile trace"
+  python scripts/profile_static.py --trace logs/prof_r3 \
+      > logs/profile_r3.json 2>logs/profile_r3.err || echo "PROFILE FAILED"
+  python scripts/analyze_trace.py --trace-dir logs/prof_r3 \
+      --out artifacts/trace_top_kernels.json \
+      > logs/analyze_trace.out 2>&1 || echo "TRACE ANALYZE FAILED"
+fi
+
+if [ ! -f logs/bench_remat_ab.out ]; then
+  log "eps_remat A/B"
+  python scripts/bench_remat_ab.py > logs/bench_remat_ab.out 2>&1 \
+      || echo "REMAT AB FAILED"
+fi
+
 if [ ! -f eval_results_predator_obs_paper.json ]; then
   log "obs 100x10 paper grid (conditioned)"
   python scripts/inference_dynamic.py --dataset dataset/EnvPredatorObs_v1 \
@@ -109,12 +124,6 @@ if [ ! -f eval_results_3d_grid_compose_rs4.json ]; then
       --resample-steps 4 \
       --results eval_results_3d_grid_compose_rs4.json \
       > logs/eval_3d_compose_rs4.out 2>&1 || echo "RS4 FAILED"
-fi
-
-if [ ! -d logs/prof_r3 ]; then
-  log "per-kernel profile trace"
-  python scripts/profile_static.py --trace logs/prof_r3 \
-      > logs/profile_r3.json 2>logs/profile_r3.err || echo "PROFILE FAILED"
 fi
 
 log "stage C done"
