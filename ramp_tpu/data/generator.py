@@ -311,7 +311,8 @@ def generate_dataset_predator(out_dir: str, n_tasks: int = 384,
                               n_boxes: int = 4, pursuer_radius: float = 0.1,
                               pursuer_margin: float = 0.15,
                               env_id: str = "EnvPredator",
-                              sweep_steps: int = 0) -> str:
+                              sweep_steps: int = 0,
+                              sweep_jitter: bool = False) -> str:
     """Pursuer-aware EnvPredator dataset (static MPD layout + 1 extra row).
 
     The round-1 dynamic model was trained on A*-planned paths around the
@@ -338,6 +339,15 @@ def generate_dataset_predator(out_dir: str, n_tasks: int = 384,
     demonstrations are planned around the whole swept capsule. Training on
     oriented capsules teaches the model to avoid where the pursuer is
     HEADED, not just where it is.
+
+    Known train/inference distribution mismatch: training capsules here are
+    always full K-step length, while the inference twin
+    (`pursuit_sweep_vector`) caps the pursuit component at the live
+    pursuer-evader distance — so close-range inference capsules are shorter
+    than anything in the training distribution. `sweep_jitter=True`
+    randomizes each scene's sweep magnitude uniformly over [0, K] steps so
+    the model also sees short capsules (off by default to preserve the
+    round-3 flagship recipe exactly).
     """
     from ramp_tpu.scenes.pointclouds import (generate_sphere_points_np,
                                              generate_swept_sphere_points_np)
@@ -362,11 +372,13 @@ def generate_dataset_predator(out_dir: str, n_tasks: int = 384,
         if sweep_steps > 0:
             theta = rng.uniform(0, 2 * np.pi)
             u = np.array([np.cos(theta), np.sin(theta)], np.float32)
+            eff_steps = (rng.uniform(0.0, sweep_steps) if sweep_jitter
+                         else float(sweep_steps))
             # same closed form as pursuit_sweep_vector (pursuit component
             # along the threat direction + the degenerate +y drift)
             sweep_vec = (pp.pursuit_strength * u
                          + pp.random_strength * np.array([0.0, 1.0])) \
-                * step_len * sweep_steps
+                * step_len * eff_steps
         # plan around boxes + the inflated pursuer treated as a square box
         # (with sweep: a chain of squares covering the swept capsule)
         n_sweep_boxes = 1 if sweep_steps <= 0 else 3

@@ -199,18 +199,23 @@ def path_sanity_mask(trajs, factor: float = 3.0, min_budget: float = 2.0,
 
 def trajectory_success_and_metrics(trajs_final, collision_intensities,
                                    threshold: float = 0.01,
-                                   path_gate: bool = True) -> Dict:
+                                   path_gate: bool = True,
+                                   pos_dim: int = 2) -> Dict:
     """ref :84-126. Returns plain-python dict for the harness/JSON dump.
 
     Beyond-ref: with ``path_gate`` (default), a collision-free trajectory
     only counts toward success if it passes `path_sanity_mask` — wandering
     cannot score. ``n_wander_trajectories`` reports what the gate removed.
+    ``pos_dim`` (2 or 3) selects the position slice the gate and the
+    path-length metric measure — 3-D callers (serve point_dim=3,
+    inference3d) must pass 3 so z-axis wander is gated and a legit plan
+    with a short xy projection is not misclassified.
     """
     ci = np.asarray(collision_intensities)
     successful = ci <= threshold
     n_wander = 0
     if path_gate and successful.any():
-        sane = path_sanity_mask(trajs_final)
+        sane = path_sanity_mask(trajs_final, pos_dim=pos_dim)
         n_wander = int((successful & ~sane).sum())
         successful = successful & sane
     success = 1 if successful.any() else 0
@@ -227,7 +232,8 @@ def trajectory_success_and_metrics(trajs_final, collision_intensities,
         "n_wander_trajectories": n_wander,
     }
     if len(trajs_free) > 0:
-        pl = np.asarray(compute_path_length(trajs_free))
+        pl = np.asarray(compute_path_length_3d(trajs_free) if pos_dim == 3
+                        else compute_path_length(trajs_free))
         metrics["path_length"] = float(pl.mean())
         metrics["path_length_std"] = float(pl.std(ddof=1)) if len(pl) > 1 else 0.0
         if len(trajs_free) == 1:

@@ -18,7 +18,9 @@ Request/response contract (POST /plan):
 The point/workspace dimensionality d is fixed per service (2 for the static
 2-D planner, 3 for the 3-D planner — `scripts/serve.py --family`).
 ->  {"trajectories": [N][H][state_dim], # world coords
-     "t_plan_ms": float, "n_samples": N,
+     "t_plan_ms": float,   # dispatch+compute+sync (excludes lock wait)
+     "t_queue_ms": float,  # time spent queued behind other requests
+     "n_samples": N,
      "success": 0/1?, "collision_intensity": %?, "best": int?}  # if geometry
 
 GET /healthz -> {"status": "ok", "device": ..., "warm_shapes": [...]}.
@@ -40,7 +42,7 @@ import numpy as np
 
 from ramp_tpu.eval.metrics import (
     compute_collision_intensity, compute_collision_intensity_3d,
-    trajectory_success_and_metrics,
+    path_sanity_mask, trajectory_success_and_metrics,
 )
 
 
@@ -104,8 +106,11 @@ class PlanningService:
         # request k+1's dispatch, so concurrent callers see marginal-latency
         # throughput (~25 ms/replan) instead of serializing the ~27 ms
         # tunnel RTT into every call (measured: scripts/bench_serve.py).
+        # t_plan_ms = dispatch+compute+sync only (comparable across load);
+        # t_queue_ms = time spent waiting for the device lock.
         t0 = time.perf_counter()
         with self._device_lock:
+            t1 = time.perf_counter()
             if seed is None:
                 seed = self._counter
             self._counter += 1
@@ -113,11 +118,13 @@ class PlanningService:
             trajs_n, _ = plan_fn(self.params, key, jnp.asarray(pts),
                                  jnp.asarray(start_n), jnp.asarray(goal_n))
         trajs_n = jax.block_until_ready(trajs_n)
-        t_plan = time.perf_counter() - t0
+        t_plan = time.perf_counter() - t1
+        t_queue = t1 - t0
         self._warm_shapes.add(tuple(pts.shape[:-1]) + (n_samples,))
 
         trajs = np.asarray(self.normalizer.unnormalize(trajs_n))
         out = {"trajectories": trajs, "t_plan_ms": round(t_plan * 1e3, 3),
+               "t_queue_ms": round(t_queue * 1e3, 3),
                "n_samples": n_samples}
         if box_centers is not None and box_sizes is not None:
             if self.point_dim == 3:
@@ -127,11 +134,14 @@ class PlanningService:
             else:
                 ci = np.asarray(compute_collision_intensity(
                     trajs, np.asarray(box_centers), np.asarray(box_sizes)))
-            m = trajectory_success_and_metrics(trajs, ci)
+            m = trajectory_success_and_metrics(trajs, ci,
+                                               pos_dim=self.point_dim)
             out["success"] = m["success"]
             out["collision_intensity"] = m["collision_intensity"]
-            free = np.where(ci <= 0.01)[0]
-            # best = shortest collision-free trajectory, else least-colliding
+            # best = shortest sane collision-free trajectory, consistent with
+            # the gated success field; else least-colliding of all samples
+            sane = path_sanity_mask(trajs, pos_dim=self.point_dim)
+            free = np.where((ci <= 0.01) & sane)[0]
             if len(free):
                 lens = np.linalg.norm(
                     np.diff(trajs[free, :, :self.point_dim], axis=1),
@@ -252,15 +262,26 @@ class ControllerService:
             sess = self._sessions.get(episode_id)
             if sess is None:
                 raise UnknownEpisode(episode_id)
+            prev_state = sess["state"]
             state, plan, next_state, reached = self.planner.controller_step(
-                self.params, sess["state"], pursuer, sess["obstacle_pts"],
+                self.params, prev_state, pursuer, sess["obstacle_pts"],
                 sess["apf_pts"], sess["goal"], n_samples=sess["n_samples"],
                 scene_latents=sess["latents"])
             # the new state is an ASYNC value: storing it un-synced keeps the
             # device busy; the next step's dispatch chains on it in HBM, and
             # only this response's fetch below pays the host round-trip
             sess["state"] = state
-        jax.block_until_ready(next_state)
+        try:
+            jax.block_until_ready(next_state)
+        except Exception:
+            # the async computation failed on device: roll the session back
+            # to the pre-step state so a transient failure doesn't wedge the
+            # episode — unless a concurrent step already advanced past us
+            with self._device_lock:
+                cur = self._sessions.get(episode_id)
+                if cur is not None and cur["state"] is state:
+                    cur["state"] = prev_state
+            raise
         return {"plan": np.asarray(self.normalizer.unnormalize(plan)).tolist(),
                 "next_state": np.asarray(
                     self.normalizer.unnormalize(next_state)).tolist(),

@@ -50,6 +50,35 @@ def test_no_placeholder_tokens():
     assert not bad, f"placeholder-looking tokens in docs: {bad}"
 
 
+def test_no_promises():
+    """Round-3 post-mortem: `RESULTS.md:47` promised a "Round-3 per-kernel
+    attack below" that never landed, and the guard above sailed past it.
+    Rule adopted (VERDICT r3 item 8): never commit a promise, only results.
+    Flags (a) promissory vocabulary about measurements-to-be, (b)
+    round-stamped forward references ("Round-N ... below") — results get
+    written in place when they exist; announcing them is a promise by
+    construction."""
+    promise_pats = [
+        re.compile(r"\b(?:is|are|was|were)\s+queued\b", re.I),
+        re.compile(r"\bqueued\s+in\s+`?scripts/", re.I),
+        re.compile(r"\b(?:measurement|rerun|eval|bench)\s+(?:is\s+)?pending\b",
+                   re.I),
+        re.compile(r"\bwill\s+(?:be\s+)?(?:measured|land|run|follow)\b", re.I),
+        re.compile(r"\bto\s+be\s+(?:re)?(?:run|measured)\b", re.I),
+        re.compile(r"\bnot\s+yet\s+(?:run|measured|landed)\b", re.I),
+        re.compile(r"\bRound-\d[^.\n]{0,60}\bbelow\b"),
+    ]
+    bad = []
+    for name, text in _doc_text().items():
+        for pat in promise_pats:
+            for m in pat.finditer(text):
+                line = text.count("\n", 0, m.start()) + 1
+                bad.append(f"{name}:{line}: '{m.group(0)}'")
+    assert not bad, (
+        "docs contain promises of future measurements — commit results, "
+        f"not promises: {bad}")
+
+
 def test_referenced_measurements_are_tracked():
     tracked = set(subprocess.run(
         ["git", "ls-files"], cwd=REPO, capture_output=True,
