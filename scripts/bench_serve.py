@@ -27,9 +27,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _http_post(port, path, payload):
+def _http_post(port, path, payload, timeout=120):
+    # timed calls keep a tight timeout; compile-bearing warm calls (first
+    # /plan, /episode/begin + first step) pass 30 min — the dynamic episode
+    # path's first compile exceeds 120 s on the tunneled chip (measured
+    # round 4: bench_serve died here with the flat default)
     import http.client
-    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=timeout)
     body = json.dumps(payload)
     conn.request("POST", path, body,
                  {"Content-Type": "application/json"})
@@ -100,7 +104,7 @@ def main():
            "n_samples": args.n_samples}
 
     # warm the jit before timing
-    _http_post(args.port, "/plan", req)
+    _http_post(args.port, "/plan", req, timeout=1800)
 
     # ------------------------------------------------- sequential /plan p50
     seq = []
@@ -143,11 +147,12 @@ def main():
         "start": np.asarray(
             dds.normalizer.unnormalize(dhc["start"])).tolist(),
         "goal": np.asarray(dds.normalizer.unnormalize(dhc["goal"])).tolist(),
-        "seed": 0})
+        "seed": 0}, timeout=1800)
     eid = ep["episode_id"]
     pursuer = np.asarray([0.0, 0.8])
     _http_post(args.port, "/episode/step", {"episode_id": eid,
-                                            "pursuer": pursuer.tolist()})
+                                            "pursuer": pursuer.tolist()},
+               timeout=1800)
     steps = []
     for k in range(30):
         pursuer = pursuer + np.asarray([0.0, -0.01])
