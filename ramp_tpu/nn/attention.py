@@ -44,6 +44,23 @@ class FeedForward(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype)(x)
 
 
+class _ProjKernel(nn.Module):
+    """Declares a bias-less Dense kernel WITHOUT forcing a standalone matmul.
+
+    Param path/name/init match `nn.Dense(use_bias=False, name=...)` exactly
+    (`<name>/kernel`, lecun-normal), so checkpoints trained with any
+    attn_impl load into any other — the fused lowering below concatenates
+    these kernels at trace time instead of dispatching three projections.
+    """
+    in_dim: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (self.in_dim, self.features))
+
+
 class CrossAttention(nn.Module):
     """Multi-head cross attention; self-attention when context is None.
 
@@ -54,6 +71,10 @@ class CrossAttention(nn.Module):
         head) as dot batch dims, letting XLA fold the head split into the
         matmul instead of materializing layout copies (the profiler shows
         ~12% of replan time in [B,4,64,64] relayout copies on TPU).
+      * "fused":   bnhd einsums + a single QKV projection — the three
+        [C,inner] kernels concatenate at trace time into one [C,3*inner]
+        matmul (3x wider MXU feed, 2 fewer dispatches per attention call).
+        Weight-compatible with the other impls (see _ProjKernel).
 
     An A/B on the real chip (logs/attn_ab.json) measured 19.48 ms (bnhd) vs
     19.52 ms (default) per 64-traj replan — XLA already hides the relayouts,
@@ -71,13 +92,33 @@ class CrossAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None):
+        if self.attn_impl not in ("default", "bnhd", "fused"):
+            raise ValueError(f"unknown attn_impl {self.attn_impl!r} "
+                             "(expected 'default', 'bnhd' or 'fused')")
         inner = self.dim_head * self.heads
         ctx = x if context is None else context
         if ctx.ndim == 2:
             ctx = ctx[:, None, :]
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        if self.attn_impl == "fused":
+            wq = _ProjKernel(x.shape[-1], inner, name="to_q")()
+            wk = _ProjKernel(ctx.shape[-1], inner, name="to_k")()
+            wv = _ProjKernel(ctx.shape[-1], inner, name="to_v")()
+            if context is None or ctx is x:
+                w = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
+                qkv = jnp.einsum("bnc,cf->bnf", x.astype(self.dtype), w)
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+            else:
+                q = x.astype(self.dtype) @ wq.astype(self.dtype)
+                wkv = jnp.concatenate([wk, wv], axis=1).astype(self.dtype)
+                k, v = jnp.split(
+                    ctx.astype(self.dtype) @ wkv, 2, axis=-1)
+        else:
+            q = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                         name="to_q")(x)
+            k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                         name="to_k")(ctx)
+            v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                         name="to_v")(ctx)
 
         b, n, _ = q.shape
         m = k.shape[1]
@@ -89,7 +130,7 @@ class CrossAttention(nn.Module):
             # over every query position. q/k are dead code (DCE'd by XLA;
             # their params still exist and simply receive zero gradient).
             out = jnp.broadcast_to(v, (b, n, inner))
-        elif self.attn_impl == "bnhd":
+        elif self.attn_impl in ("bnhd", "fused"):
             q = q.reshape(b, n, self.heads, self.dim_head)
             k = k.reshape(b, m, self.heads, self.dim_head)
             v = v.reshape(b, m, self.heads, self.dim_head)
@@ -100,9 +141,6 @@ class CrossAttention(nn.Module):
                              preferred_element_type=jnp.float32).astype(self.dtype)
             out = out.reshape(b, n, inner)
         else:
-            if self.attn_impl not in ("default", "bnhd"):
-                raise ValueError(f"unknown attn_impl {self.attn_impl!r} "
-                                 "(expected 'default' or 'bnhd')")
             def split(t, length):
                 return t.reshape(b, length, self.heads, self.dim_head).transpose(0, 2, 1, 3)
 

@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--impls", nargs="+", default=["default", "bnhd"])
+    p.add_argument("--impls", nargs="+", default=["default", "bnhd", "fused"])
     args = p.parse_args()
 
     from bench import measure_replan

@@ -163,15 +163,22 @@ def test_energy_and_value():
 
 
 @pytest.mark.slow
-def test_attn_impl_bnhd_matches_default():
-    """The bnhd (no-head-transpose) lowering is the same math as default."""
+@pytest.mark.parametrize("impl", ["bnhd", "fused"])
+def test_attn_impl_matches_default(impl):
+    """The bnhd (no-head-transpose) and fused (single-QKV-matmul) lowerings
+    are the same math as default, on the identical param tree — so
+    checkpoints are interchangeable across impls."""
     key = jax.random.PRNGKey(3)
     x = jax.random.normal(key, (2, 16, 4))
     t = jnp.asarray([3, 7])
     lat = jax.random.normal(key, (2, 1, 320))
     unet_a = TemporalUnet(state_dim=4)
-    unet_b = TemporalUnet(state_dim=4, attn_impl="bnhd")
+    unet_b = TemporalUnet(state_dim=4, attn_impl=impl)
     params = unet_a.init(key, x, t, lat)
+    # param trees must match exactly (fused declares kernels via _ProjKernel)
+    pb = unet_b.init(key, x, t, lat)
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(pb)
     out_a = unet_a.apply(params, x, t, lat)
     out_b = unet_b.apply(params, x, t, lat)  # identical param tree
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
