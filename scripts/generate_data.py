@@ -40,6 +40,11 @@ def main():
                         "predicted pursuit-steps along a random threat "
                         "direction (predictive conditioning; see "
                         "DynamicPlannerConfig.pursuer_sweep_steps)")
+    p.add_argument("--sweep-jitter", action="store_true",
+                   help="with --sweep-steps: randomize each scene's sweep "
+                        "magnitude over [0, K] steps so the model also sees "
+                        "short capsules (the inference twin caps the sweep "
+                        "at the live pursuer-evader distance)")
     args = p.parse_args()
     if args.pursuer_aware or args.env == "EnvPredatorObstacles":
         from ramp_tpu.data.generator import generate_dataset_predator
@@ -50,7 +55,8 @@ def main():
             n_trajs_per_task=args.n_trajs, horizon=args.horizon,
             points_per_obstacle=args.points_per_obstacle, seed=args.seed,
             n_boxes=8 if args.env == "EnvPredatorObstacles" else 4,
-            env_id=args.env, sweep_steps=args.sweep_steps)
+            env_id=args.env, sweep_steps=args.sweep_steps,
+            sweep_jitter=args.sweep_jitter)
         print(f"wrote dataset to {out}")
         return
     if args.env == "EnvSmall3D":
