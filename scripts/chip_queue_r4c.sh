@@ -23,6 +23,26 @@ if [ ! -f artifacts/bench_serve.json ]; then
       > logs/bench_serve.out 2>&1 || echo "BENCH SERVE FAILED AGAIN"
 fi
 
+if [ ! -f eval_results_static_v4_300k_apf.json ]; then
+  log "C1b: APF on the v4_300k flagship under the gate (the relevant pairing
+       now that the v2 APF headline failed adjudication at 0.790)"
+  python scripts/inference_static.py --dataset dataset/EnvSimple2dquant_v2 \
+      --checkpoints artifacts/weights/simple2d_v4_300k.npz \
+      --n-contexts 20 --n-samples 20 --use-apf \
+      --results eval_results_static_v4_300k_apf.json \
+      > logs/eval_static_v4_300k_apf.out 2>&1 || echo "V4 APF FAILED"
+fi
+
+if [ ! -f eval_results_compose_gated.json ]; then
+  log "C1c: hard2d compose rerun under the gate (the 1.000/0.036% row is
+       pre-gate DDIM-8+APF — same suspect class as the static APF headline)"
+  python scripts/inference_static.py --dataset dataset/EnvHard2dquant_v2 \
+      --checkpoints artifacts/weights/hard2d_v2.npz \
+      --compose --use-apf --n-contexts 10 --n-samples 20 \
+      --results eval_results_compose_gated.json \
+      > logs/eval_compose_gated.out 2>&1 || echo "COMPOSE GATED FAILED"
+fi
+
 for ws in "3 5" "5 3" "4 6" "6 4"; do
   set -- $ws
   w1=$1; w2=$2
@@ -49,26 +69,6 @@ if [ ! -f eval_results_3d_grid_compose_rs4.json ]; then
       --resample-steps 4 \
       --results eval_results_3d_grid_compose_rs4.json \
       > logs/eval_3d_compose_rs4.out 2>&1 || echo "RS4 FAILED"
-fi
-
-if [ ! -f eval_results_static_v4_300k_apf.json ]; then
-  log "C1b: APF on the v4_300k flagship under the gate (the relevant pairing
-       now that the v2 APF headline failed adjudication at 0.790)"
-  python scripts/inference_static.py --dataset dataset/EnvSimple2dquant_v2 \
-      --checkpoints artifacts/weights/simple2d_v4_300k.npz \
-      --n-contexts 20 --n-samples 20 --use-apf \
-      --results eval_results_static_v4_300k_apf.json \
-      > logs/eval_static_v4_300k_apf.out 2>&1 || echo "V4 APF FAILED"
-fi
-
-if [ ! -f eval_results_compose_gated.json ]; then
-  log "C1c: hard2d compose rerun under the gate (the 1.000/0.036% row is
-       pre-gate DDIM-8+APF — same suspect class as the static APF headline)"
-  python scripts/inference_static.py --dataset dataset/EnvHard2dquant_v2 \
-      --checkpoints artifacts/weights/hard2d_v2.npz \
-      --compose --use-apf --n-contexts 10 --n-samples 20 \
-      --results eval_results_compose_gated.json \
-      > logs/eval_compose_gated.out 2>&1 || echo "COMPOSE GATED FAILED"
 fi
 
 if [ ! -f logs/bench_r4_final.json ]; then
