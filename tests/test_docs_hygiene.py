@@ -107,3 +107,55 @@ def test_referenced_measurements_are_tracked():
     assert not untracked, (
         "docs reference measurement files that exist but are NOT git-tracked "
         f"(commit them with the doc change): {untracked}")
+
+
+def test_on_disk_measurements_are_tracked_and_referenced():
+    """Inverse rule (round-4 post-mortem, VERDICT r4 weak #1): queue items
+    D2/D3 *finished* but their outputs sat untracked and undigested — the
+    promise guard had killed promissory doc text, so orphaned results became
+    invisible to every guard. This direction makes them loud: every
+    measurement JSON ON DISK must be (a) git-tracked and (b) referenced from
+    at least one doc (verbatim, brace-shorthand, or glob mention). A
+    measurement nobody wrote about is a measurement nobody digested."""
+    import fnmatch
+    import glob as globmod
+
+    tracked = set(subprocess.run(
+        ["git", "ls-files"], cwd=REPO, capture_output=True,
+        text=True).stdout.split())
+    if not tracked:
+        pytest.skip("not a git checkout")
+
+    disk = []
+    for pat in ("eval_results_*.json", "eval_ab_*.json", "eval_dynab_*.json",
+                "BENCH_*.json", "MULTICHIP_*.json", "artifacts/*.json"):
+        disk += [os.path.relpath(p, REPO)
+                 for p in globmod.glob(os.path.join(REPO, pat))]
+
+    # Doc mentions: plain names, brace shorthand, or glob mentions.
+    mention_pat = re.compile(r"\b([\w/]+(?:\{[\w,]*\})?[\w*]*\.json)\b")
+    patterns = set()
+    for text in _doc_text().values():
+        for m in mention_pat.finditer(text):
+            ref = m.group(1)
+            if "{" in ref:
+                pre, rest = ref.split("{", 1)
+                alts, post = rest.split("}", 1)
+                patterns.update(pre + a + post for a in alts.split(","))
+            else:
+                patterns.add(ref)
+
+    def referenced(path):
+        base = os.path.basename(path)
+        return any(fnmatch.fnmatch(path, p) or fnmatch.fnmatch(base, p)
+                   for p in patterns)
+
+    untracked = sorted(p for p in disk if p not in tracked)
+    unreferenced = sorted(p for p in disk if p in tracked
+                          and not referenced(p))
+    assert not untracked, (
+        "measurement files on disk but NOT git-tracked — commit or delete "
+        f"them: {untracked}")
+    assert not unreferenced, (
+        "measurement files tracked but never mentioned in any doc — digest "
+        f"them into RESULTS.md (or an explicit glob mention): {unreferenced}")
