@@ -369,16 +369,21 @@ def generate_dataset_predator(out_dir: str, n_tasks: int = 384,
             if pursuer is not None:
                 break
         sweep_vec = np.zeros(2, np.float32)
+        eff_steps = 0.0
         if sweep_steps > 0:
             theta = rng.uniform(0, 2 * np.pi)
             u = np.array([np.cos(theta), np.sin(theta)], np.float32)
             eff_steps = (rng.uniform(0.0, sweep_steps) if sweep_jitter
                          else float(sweep_steps))
-            # same closed form as pursuit_sweep_vector (pursuit component
-            # along the threat direction + the degenerate +y drift)
-            sweep_vec = (pp.pursuit_strength * u
-                         + pp.random_strength * np.array([0.0, 1.0])) \
-                * step_len * eff_steps
+            # same closed form as pursuit_sweep_vector: jitter shortens only
+            # the PURSUIT component (the inference twin caps that component
+            # at the live pursuer-evader distance, dynamics.py:75-80, while
+            # its +y drift always keeps the full K steps — so must ours, or
+            # short training capsules differ in composition from close-range
+            # inference capsules)
+            sweep_vec = (pp.pursuit_strength * u * eff_steps
+                         + pp.random_strength * np.array([0.0, 1.0])
+                         * float(sweep_steps)) * step_len
         # plan around boxes + the inflated pursuer treated as a square box
         # (with sweep: a chain of squares covering the swept capsule)
         n_sweep_boxes = 1 if sweep_steps <= 0 else 3
@@ -444,6 +449,11 @@ def generate_dataset_predator(out_dir: str, n_tasks: int = 384,
             "pursuer_radius": float(pursuer_radius),
             "pursuer_sweep": np.asarray(sweep_vec).tolist(),
             "pursuer_sweep_steps": int(sweep_steps),
+            # the effective (possibly jittered) pursuit length actually used
+            # for this scene — reconstructing the capsule from the nominal
+            # steps alone would be wrong whenever jitter shrank it
+            "pursuer_sweep_steps_effective": float(eff_steps),
+            "pursuer_sweep_jitter": bool(sweep_jitter),
             "horizon": horizon,
             "n_trajectories": int(trajs.shape[0]),
         }

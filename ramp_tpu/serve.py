@@ -18,10 +18,15 @@ Request/response contract (POST /plan):
 The point/workspace dimensionality d is fixed per service (2 for the static
 2-D planner, 3 for the 3-D planner — `scripts/serve.py --family`).
 ->  {"trajectories": [N][H][state_dim], # world coords
-     "t_plan_ms": float,   # dispatch+compute+sync (excludes lock wait)
+     "t_plan_ms": float,   # dispatch+compute+fetch (excludes lock wait)
      "t_queue_ms": float,  # time spent queued behind other requests
+     "t_dispatch_ms"/"t_fetch_ms"/"t_serialize_ms": float,  # decomposition
      "n_samples": N,
      "success": 0/1?, "collision_intensity": %?, "best": int?}  # if geometry
+
+Pass "response_format": "b64" to receive the trajectories as raw
+little-endian float32 (`trajectories_b64` + `trajectories_shape`) instead
+of a JSON float list — ~3x smaller body, no float formatting cost.
 
 GET /healthz -> {"status": "ok", "device": ..., "warm_shapes": [...]}.
 
@@ -30,9 +35,11 @@ request at a new shape pays a compile; `warm()` pre-pays the expected one.
 """
 from __future__ import annotations
 
+import base64
 import json
 import threading
 import time
+from functools import partial
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional
 
@@ -62,6 +69,31 @@ class PlanningService:
         self._device_lock = threading.Lock()
         self._counter = 0
         self._warm_shapes: set = set()
+        self._world_jit: Dict[int, object] = {}
+
+    def _world_plan_fn(self, n_samples: int):
+        """Jitted plan with the trajectory unnormalization FUSED on device.
+
+        The round-4 serving bench measured /plan at 140.9 ms p50 against an
+        in-process 51.4 ms single call: the old path paid the ~24 ms tunnel
+        round-trip three times per request — `block_until_ready` (sync), a
+        separate jnp `unnormalize` dispatch, then `np.asarray` (fetch).
+        Fusing unnormalize into the jitted computation makes a request
+        exactly one dispatch + one fetch; the fetch itself blocks, so no
+        separate sync is needed."""
+        if n_samples not in self._world_jit:
+            inner = partial(self.planner._plan, n_samples=n_samples,
+                            return_chain=False)
+            norm = self.normalizer
+
+            def f(params, key, pts, start_n, goal_n, w):
+                trajs_n, _ = inner(params, key, pts, start_n, goal_n, w)
+                return norm.unnormalize(trajs_n)
+
+            self._world_jit[n_samples] = jax.jit(f)
+        jitted = self._world_jit[n_samples]
+        w = self.planner._guide_w()
+        return lambda params, key, pts, s, g: jitted(params, key, pts, s, g, w)
 
     def warm(self, n_obstacles: int, n_points: int,
              n_samples: Optional[int] = None) -> float:
@@ -99,14 +131,15 @@ class PlanningService:
 
         start_n = np.asarray(self.normalizer.normalize(start), np.float32)
         goal_n = np.asarray(self.normalizer.normalize(goal), np.float32)
-        plan_fn = self.planner.plan_fn(n_samples, return_chain=False)
+        plan_fn = self._world_plan_fn(n_samples)
 
         # Dispatch under the lock (one chip executes in enqueue order), but
-        # SYNC OUTSIDE it: the host round-trip of request k then overlaps
+        # FETCH OUTSIDE it: the host round-trip of request k then overlaps
         # request k+1's dispatch, so concurrent callers see marginal-latency
         # throughput (~25 ms/replan) instead of serializing the ~27 ms
         # tunnel RTT into every call (measured: scripts/bench_serve.py).
-        # t_plan_ms = dispatch+compute+sync only (comparable across load);
+        # t_plan_ms = dispatch+compute+fetch (the fetch blocks, so this is
+        # comparable to the old dispatch+compute+sync definition);
         # t_queue_ms = time spent waiting for the device lock.
         t0 = time.perf_counter()
         with self._device_lock:
@@ -115,16 +148,21 @@ class PlanningService:
                 seed = self._counter
             self._counter += 1
             key = jax.random.PRNGKey(int(seed))
-            trajs_n, _ = plan_fn(self.params, key, jnp.asarray(pts),
-                                 jnp.asarray(start_n), jnp.asarray(goal_n))
-        trajs_n = jax.block_until_ready(trajs_n)
-        t_plan = time.perf_counter() - t1
-        t_queue = t1 - t0
+            trajs_dev = plan_fn(self.params, key, jnp.asarray(pts),
+                                jnp.asarray(start_n), jnp.asarray(goal_n))
+        t2 = time.perf_counter()
+        # single host<->device round trip: np.asarray on the async device
+        # value blocks until done AND copies out — world-coord trajectories,
+        # unnormalized on device by the fused plan (see _world_plan_fn)
+        trajs = np.asarray(trajs_dev)
+        t3 = time.perf_counter()
         self._warm_shapes.add(tuple(pts.shape[:-1]) + (n_samples,))
 
-        trajs = np.asarray(self.normalizer.unnormalize(trajs_n))
-        out = {"trajectories": trajs, "t_plan_ms": round(t_plan * 1e3, 3),
-               "t_queue_ms": round(t_queue * 1e3, 3),
+        out = {"trajectories": trajs,
+               "t_plan_ms": round((t3 - t1) * 1e3, 3),
+               "t_queue_ms": round((t1 - t0) * 1e3, 3),
+               "t_dispatch_ms": round((t2 - t1) * 1e3, 3),
+               "t_fetch_ms": round((t3 - t2) * 1e3, 3),
                "n_samples": n_samples}
         if box_centers is not None and box_sizes is not None:
             if self.point_dim == 3:
@@ -199,6 +237,13 @@ class ControllerService:
         self._device_lock = threading.Lock()
         self._sessions: Dict[str, Dict] = {}
         self._counter = 0
+        # unnormalization fused into single jitted postprocess calls so each
+        # HTTP tick pays one dispatch + one fetch instead of a sync plus a
+        # separate unnormalize dispatch/fetch per returned array (the round-4
+        # bench measured that at 152 ms/step vs ~25 ms in-process)
+        self._post_step = jax.jit(lambda plan, ns: (
+            normalizer.unnormalize(plan), normalizer.unnormalize(ns)))
+        self._post_plan = jax.jit(normalizer.unnormalize)
 
     def begin(self, obstacle_points, start, goal, apf_points=None,
               seed: Optional[int] = None,
@@ -239,7 +284,7 @@ class ControllerService:
             # tick, so the hoisted scene latent only applies unconditioned
             latents = (None if conditioned
                        else self.planner.encode_scene(self.params, pts_dev))
-            jax.block_until_ready(high_plan)
+            high_plan_w = self._post_plan(high_plan)
             # evict finished sessions first, then the oldest, to stay bounded
             if len(self._sessions) >= self.MAX_SESSIONS:
                 done = [k for k, s in self._sessions.items()
@@ -252,9 +297,10 @@ class ControllerService:
                 "apf_pts": jnp.asarray(apf), "goal": goal_n,
                 "n_samples": n_samples,
             }
+        # fetch outside the lock: blocks until the episode-begin computation
+        # (and the fused unnormalize) finishes, one round trip
         return {"episode_id": eid,
-                "high_plan": np.asarray(
-                    self.normalizer.unnormalize(high_plan)).tolist()}
+                "high_plan": np.asarray(high_plan_w).tolist()}
 
     def step(self, episode_id: str, pursuer) -> Dict:
         pursuer = jnp.asarray(np.asarray(pursuer, np.float32))
@@ -271,8 +317,15 @@ class ControllerService:
             # device busy; the next step's dispatch chains on it in HBM, and
             # only this response's fetch below pays the host round-trip
             sess["state"] = state
+            # fused world-coord postprocess dispatched while still async
+            plan_w, next_w = self._post_step(plan, next_state)
         try:
-            jax.block_until_ready(next_state)
+            # one fetch for everything the response needs (incl. the scalar
+            # `reached`/`step` — int() on a device scalar would be its own
+            # round trip): blocks until the whole step and the fused
+            # unnormalize finish — no separate sync round trip
+            plan_np, next_np, reached, step_no = jax.device_get(
+                (plan_w, next_w, reached, state.step))
         except Exception:
             # the async computation failed on device: roll the session back
             # to the pre-step state so a transient failure doesn't wedge the
@@ -282,11 +335,10 @@ class ControllerService:
                 if cur is not None and cur["state"] is state:
                     cur["state"] = prev_state
             raise
-        return {"plan": np.asarray(self.normalizer.unnormalize(plan)).tolist(),
-                "next_state": np.asarray(
-                    self.normalizer.unnormalize(next_state)).tolist(),
+        return {"plan": np.asarray(plan_np).tolist(),
+                "next_state": np.asarray(next_np).tolist(),
                 "reached": int(bool(reached)),
-                "step": int(state.step)}
+                "step": int(step_no)}
 
     def end(self, episode_id: str) -> Dict:
         with self._device_lock:
@@ -338,8 +390,21 @@ def _make_handler(service, controller: Optional[ControllerService] = None):
                         box_sizes=req.get("box_sizes"),
                         sphere_centers=req.get("sphere_centers"),
                         sphere_radii=req.get("sphere_radii"))
-                    out["trajectories"] = np.asarray(
-                        out["trajectories"]).tolist()
+                    ts = time.perf_counter()
+                    arr = np.asarray(out["trajectories"], np.float32)
+                    if req.get("response_format") == "b64":
+                        # raw little-endian float32 — ~1/3 the bytes of the
+                        # JSON float list and no number formatting on either
+                        # side; decode with np.frombuffer(...).reshape(shape)
+                        out["trajectories_b64"] = base64.b64encode(
+                            arr.tobytes()).decode("ascii")
+                        out["trajectories_shape"] = list(arr.shape)
+                        out["trajectories_dtype"] = "float32"
+                        del out["trajectories"]
+                    else:
+                        out["trajectories"] = arr.tolist()
+                    out["t_serialize_ms"] = round(
+                        (time.perf_counter() - ts) * 1e3, 3)
                 elif self.path == "/episode/begin" and controller is not None:
                     out = controller.begin(
                         req["obstacle_points"], req["start"], req["goal"],

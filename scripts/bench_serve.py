@@ -107,12 +107,28 @@ def main():
     _http_post(args.port, "/plan", req, timeout=1800)
 
     # ------------------------------------------------- sequential /plan p50
-    seq = []
+    seq, phases = [], {k: [] for k in ("t_plan_ms", "t_dispatch_ms",
+                                       "t_fetch_ms", "t_serialize_ms",
+                                       "t_queue_ms")}
     for i in range(args.iters):
         t0 = time.perf_counter()
-        _http_post(args.port, "/plan", dict(req, seed=i))
+        r = _http_post(args.port, "/plan", dict(req, seed=i))
         seq.append(time.perf_counter() - t0)
+        for k in phases:
+            if k in r:
+                phases[k].append(r[k])
     seq_p50 = float(np.median(seq) * 1e3)
+    phase_p50 = {k: round(float(np.median(v)), 2)
+                 for k, v in phases.items() if v}
+
+    # --------------------------------------- sequential /plan p50, b64 body
+    seq_b64 = []
+    for i in range(args.iters):
+        t0 = time.perf_counter()
+        _http_post(args.port, "/plan",
+                   dict(req, seed=i, response_format="b64"))
+        seq_b64.append(time.perf_counter() - t0)
+    seq_b64_p50 = float(np.median(seq_b64) * 1e3)
 
     # --------------------------------------- 2-deep pipelined /plan marginal
     n_workers, per_worker = 2, args.iters
@@ -164,6 +180,8 @@ def main():
     _http_post(args.port, "/episode/end", {"episode_id": eid})
 
     out = {"plan_sequential_p50_ms": round(seq_p50, 2),
+           "plan_sequential_b64_p50_ms": round(seq_b64_p50, 2),
+           "plan_phase_p50_ms": phase_p50,
            "plan_pipelined2_marginal_ms": round(pipe_marginal, 2),
            "plan_pipelined2_p50_ms": round(pipe_p50, 2),
            "episode_step_p50_ms": round(step_p50, 2),

@@ -2,6 +2,7 @@
 
 One tiny planner compile is shared by the whole module via a session fixture.
 """
+import base64
 import json
 import threading
 import urllib.request
@@ -89,6 +90,21 @@ def test_http_server_end_to_end(service):
             out = json.loads(r.read())
         assert np.asarray(out["trajectories"]).shape == (3, 16, SD)
         assert "best" in out and "t_plan_ms" in out
+
+        # b64 response format: raw float32 bytes round-trip to the same
+        # trajectories the JSON body carries (same seed -> deterministic)
+        data_b64 = json.dumps(dict(req, response_format="b64")).encode()
+        with urllib.request.urlopen(urllib.request.Request(
+                f"http://127.0.0.1:{port}/plan", data=data_b64,
+                headers={"Content-Type": "application/json"}),
+                timeout=120) as r:
+            out_b = json.loads(r.read())
+        assert "trajectories" not in out_b
+        raw = base64.b64decode(out_b["trajectories_b64"])
+        trajs_b = np.frombuffer(raw, np.float32).reshape(
+            out_b["trajectories_shape"])
+        np.testing.assert_allclose(
+            trajs_b, np.asarray(out["trajectories"], np.float32), atol=1e-6)
 
         # error paths: missing field -> 400; bad path -> 404; bad JSON -> 400
         for body, path, code in ((b"{}", "/plan", 400),
