@@ -41,6 +41,11 @@ def test_plan_shapes_and_determinism(service):
     assert trajs.shape == (3, 16, SD)
     assert np.isfinite(trajs).all()
     assert out["t_plan_ms"] > 0
+    # phase decomposition of the single-round-trip path (serve fix r5):
+    # t_plan = dispatch + fetch, and the planner output arrives as a host
+    # array (already unnormalized on device by the fused plan)
+    assert out["t_dispatch_ms"] >= 0 and out["t_fetch_ms"] >= 0
+    assert isinstance(out["trajectories"], np.ndarray)
     # endpoints pinned (unnormalized world coords)
     np.testing.assert_allclose(trajs[:, 0, :2], [[-0.9, -0.9]] * 3, atol=1e-5)
     np.testing.assert_allclose(trajs[:, -1, :2], [[0.9, 0.9]] * 3, atol=1e-5)
